@@ -1,0 +1,316 @@
+"""Phase segmentation and thermodynamic integration, fixed-shape & masked.
+
+The reference finds local extrema with scipy.signal.argrelextrema plus a
+4-branch repair scheme (ntot/gc_hist.pyx:317-415), then walks phases with a
+running minima counter to set integration bounds (:498-520).  Both involve
+data-dependent list lengths; here phase structure is represented with
+``max_phases``-padded index arrays + counts + a validity flag, so the whole
+pipeline is one fixed-shape jittable/vmappable computation.
+
+Per-phase moment averaging (the 5-nested loop at gc_hist.pyx:534-541)
+becomes a [P,N] x [N,A] matmul — MXU work when batched over state points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .numerics import logsumexp, normalize_lnpi
+from .state import Hist, HistMeta
+
+BIG = jnp.iinfo(jnp.int32).max  # padding sentinel for index arrays
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["maxima", "n_max", "minima", "n_min", "valid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Extrema:
+    """Padded local-extrema structure of a lnPI surface."""
+
+    maxima: jax.Array  # i32[P], padded with BIG
+    n_max: jax.Array  # i32[]
+    minima: jax.Array  # i32[P+1], padded with BIG
+    n_min: jax.Array  # i32[]
+    valid: jax.Array  # bool[] — alternation/order checks passed
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fe", "left", "right", "mask", "mom_avg", "n_phases", "valid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class PhaseThermo:
+    """Per-phase thermodynamics, padded to max_phases.
+
+    fe       : f64[P]   free energy / kT per phase (default pad value 0)
+    left     : i32[P]   inclusive left bin of each phase
+    right    : i32[P]   exclusive right bin
+    mask     : bool[P]  which slots hold real phases
+    mom_avg  : f64[P, S, M, S, M, M] probability-averaged moments
+    n_phases : i32[]
+    valid    : bool[]
+    """
+
+    fe: jax.Array
+    left: jax.Array
+    right: jax.Array
+    mask: jax.Array
+    mom_avg: jax.Array
+    n_phases: jax.Array
+    valid: jax.Array
+
+
+def _compress_indices(flags: jax.Array, size: int) -> tuple[jax.Array, jax.Array]:
+    """Indices where flags is True, sorted ascending, padded with BIG."""
+    n = flags.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    vals = jnp.sort(jnp.where(flags, idx, BIG))
+    out = jnp.full(size, BIG, dtype=jnp.int32)
+    k = min(size, n)
+    out = out.at[:k].set(vals[:k])
+    return out, jnp.sum(flags).astype(jnp.int32)
+
+
+def _prepend(arr, cnt, val):
+    return jnp.concatenate([jnp.array([val], dtype=arr.dtype), arr[:-1]]), cnt + 1
+
+
+def _append_at(arr, cnt, val):
+    slots = jnp.arange(arr.shape[0], dtype=jnp.int32)
+    return jnp.where(slots == cnt, val, arr), cnt + 1
+
+
+def _sel(c, a, b):
+    """Select pytrees of same structure on scalar bool c."""
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(c, x, y), a, b)
+
+
+def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
+    """Locate alternating local maxima/minima of lnPI.
+
+    Reproduces argrelextrema(..., order=smooth, mode='clip') semantics plus
+    the endpoint-inclusion and over-smoothing repair logic of
+    gc_hist.pyx:317-415, as a fixed-shape masked computation.
+    """
+    N = lnpi.shape[-1]
+    P = max_phases
+    idx = jnp.arange(N, dtype=jnp.int32)
+    last = N - 1
+
+    # --- stencil detection (strict comparisons, clipped indices) ---
+    is_max = jnp.ones(N, dtype=bool)
+    is_min = jnp.ones(N, dtype=bool)
+    for k in range(1, smooth + 1):
+        up = lnpi[jnp.clip(idx + k, 0, last)]
+        dn = lnpi[jnp.clip(idx - k, 0, last)]
+        is_max = is_max & (lnpi > up) & (lnpi > dn)
+        is_min = is_min & (lnpi < up) & (lnpi < dn)
+
+    maxima0, n_max0 = _compress_indices(is_max, P)
+    minima0, n_min0 = _compress_indices(is_min, P + 1)
+
+    inf = jnp.array(jnp.inf, dtype=lnpi.dtype)
+
+    def branch_both(_):
+        """Found some max and min (gc_hist.pyx:333-351)."""
+        maxima, n_max, minima, n_min = maxima0, n_max0, minima0, n_min0
+        valid = jnp.array(True)
+
+        zero_in = (maxima[0] == 0) | (minima[0] == 0)
+        pre_min = (~zero_in) & (maxima[0] < minima[0])
+        pre_max = (~zero_in) & (maxima[0] > minima[0])
+        valid = valid & (zero_in | pre_min | pre_max)
+        minima, n_min = _sel(pre_min, _prepend(minima, n_min, 0), (minima, n_min))
+        maxima, n_max = _sel(pre_max, _prepend(maxima, n_max, 0), (maxima, n_max))
+
+        last_mx = jnp.take(maxima, n_max - 1, mode="clip")
+        last_mn = jnp.take(minima, n_min - 1, mode="clip")
+        last_in = (last_mx == last) | (last_mn == last)
+        app_max = (~last_in) & (last_mx < last_mn)
+        app_min = (~last_in) & (last_mx > last_mn)
+        valid = valid & (last_in | app_max | app_min)
+        maxima, n_max = _sel(app_max, _append_at(maxima, n_max, last), (maxima, n_max))
+        minima, n_min = _sel(app_min, _append_at(minima, n_min, last), (minima, n_min))
+        return Extrema(maxima, n_max, minima, n_min, valid)
+
+    def _gap_extrema(anchor, n_anchor, combine_cmp):
+        """[0, argext(gap_g) for g<n_anchor-1, last] padded; reproduces the
+        over-smoothing repair (gc_hist.pyx:355-366, 370-381)."""
+        filled = jnp.zeros(P + 1, dtype=jnp.int32)
+        slots = jnp.arange(P + 1, dtype=jnp.int32)
+        gaps = []
+        for g in range(P - 1):
+            l = jnp.take(anchor, g, mode="clip")
+            r = jnp.take(anchor, g + 1, mode="clip")
+            in_gap = (idx >= l) & (idx < r)
+            vals = jnp.where(in_gap, lnpi, combine_cmp * inf)
+            pos = jnp.argmin(vals) if combine_cmp > 0 else jnp.argmax(vals)
+            gaps.append(pos.astype(jnp.int32))
+        gaps = jnp.stack(gaps) if gaps else jnp.zeros(0, dtype=jnp.int32)
+
+        # slot 0 -> 0; slots 1..n_anchor-1 -> gap argext; slot n_anchor -> last
+        filled = jnp.where(slots == 0, 0, BIG)
+        if P - 1 > 0:
+            gslot = slots - 1  # gap index for slots >= 1
+            gvals = jnp.take(gaps, jnp.clip(gslot, 0, P - 2))
+            filled = jnp.where((slots >= 1) & (slots <= n_anchor - 1), gvals, filled)
+        filled = jnp.where(slots == n_anchor, last, filled)
+        return filled, n_anchor + 1
+
+    def branch_max_only(_):
+        """Maxima found, no minima: minima at endpoints + gap argmins
+        (gc_hist.pyx:352-366)."""
+        minima, n_min = _gap_extrema(maxima0, n_max0, +1)
+        return Extrema(maxima0, n_max0, minima, n_min, jnp.array(True))
+
+    def branch_min_only(_):
+        """Minima found, no maxima (gc_hist.pyx:367-381)."""
+        maxima_full, n_maxn = _gap_extrema(minima0, n_min0, -1)
+        return Extrema(maxima_full[:P], n_maxn, minima0, n_min0, jnp.array(True))
+
+    def branch_none(_):
+        """Monotonic ("straight line") surface: global arg-extrema
+        (gc_hist.pyx:382-386)."""
+        mx, nmx = _compress_indices(lnpi == jnp.max(lnpi), P)
+        mn, nmn = _compress_indices(lnpi == jnp.min(lnpi), P + 1)
+        return Extrema(mx, nmx, mn, nmn, jnp.array(True))
+
+    code = 2 * (n_max0 > 0).astype(jnp.int32) + (n_min0 > 0).astype(jnp.int32)
+    ext = lax.switch(code, [branch_none, branch_min_only, branch_max_only, branch_both], None)
+
+    # --- alternation + ordering checks (gc_hist.pyx:402-415) ---
+    valid = ext.valid & (jnp.abs(ext.n_max - ext.n_min) <= 1)
+    valid = valid & (ext.n_max <= P) & (ext.n_min <= P + 1) & (ext.n_max >= 1)
+    # interleaved order must be non-decreasing
+    max_first = ext.maxima[0] < ext.minima[0]
+    total = ext.n_max + ext.n_min
+    slots = jnp.arange(2 * (P + 1), dtype=jnp.int32)
+    seq_max = jnp.take(ext.maxima, slots // 2, mode="clip")
+    seq_min = jnp.take(ext.minima, slots // 2, mode="clip")
+    # even slots from whichever list starts first, odd slots from the other
+    seq = jnp.where((slots % 2) == 0, jnp.where(max_first, seq_max, seq_min), jnp.where(max_first, seq_min, seq_max))
+    in_use = slots < total
+    ok = jnp.all(jnp.where(in_use[:-1] & in_use[1:], seq[1:] >= seq[:-1], True))
+    valid = valid & ok
+
+    return Extrema(ext.maxima, ext.n_max, ext.minima, ext.n_min, valid)
+
+
+def phase_bounds(ext: Extrema, nbins: int, max_phases: int):
+    """Integration bounds per phase via the running minima counter.
+
+    Parity: the min_ctr walk at gc_hist.pyx:498-520, including the
+    final-endpoint inclusion rule (right == N-1 -> N).
+    """
+    N = nbins
+
+    def body(min_ctr, p):
+        mx = jnp.take(ext.maxima, p, mode="clip")
+        interior_left = mx > 0
+        left = jnp.where(interior_left, jnp.take(ext.minima, min_ctr, mode="clip"), 0)
+        min_ctr = min_ctr + interior_left.astype(jnp.int32)
+        right = jnp.where(mx < N - 1, jnp.take(ext.minima, min_ctr, mode="clip"), N)
+        right = jnp.where(right == N - 1, N, right)
+        return min_ctr, (left.astype(jnp.int32), right.astype(jnp.int32))
+
+    _, (lefts, rights) = lax.scan(body, jnp.array(0, dtype=jnp.int32), jnp.arange(max_phases, dtype=jnp.int32))
+    mask = jnp.arange(max_phases, dtype=jnp.int32) < ext.n_max
+    return lefts, rights, mask
+
+
+def thermo(
+    h: Hist,
+    meta: HistMeta,
+    props: bool = True,
+    complete: bool = False,
+) -> tuple[Hist, PhaseThermo]:
+    """Normalize, segment, and integrate per-phase thermodynamics.
+
+    Parity: histogram.thermo (gc_hist.pyx:451-554).  Returns the
+    (normalized) state and a padded PhaseThermo.  F.E./kT is reported
+    relative to the first bin; moment averages use probability weights.
+    """
+    P = meta.max_phases
+    lnpi = normalize_lnpi(h.lnpi)
+    h = h.replace(lnpi=lnpi)
+    N = lnpi.shape[-1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    if complete:
+        lefts = jnp.zeros(P, dtype=jnp.int32)
+        rights = jnp.where(jnp.arange(P) == 0, N, 0).astype(jnp.int32)
+        mask = jnp.arange(P) == 0
+        n_phases = jnp.array(1, dtype=jnp.int32)
+        valid = jnp.array(True)
+    else:
+        ext = relextrema(lnpi, meta.smooth, P)
+        lefts, rights, mask = phase_bounds(ext, N, P)
+        n_phases = ext.n_max
+        valid = ext.valid
+
+    in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
+
+    # F.E./kT = -ln sum exp(lnPI - lnPI[0]) over the phase (gc_hist.pyx:523-526)
+    rel = lnpi - lnpi[..., 0:1]
+    fe = -logsumexp(jnp.broadcast_to(rel[None, :], (P, N)), axis=-1, where=in_range)
+    fe = jnp.where(mask, fe, 0.0)
+
+    if props:
+        prob = jnp.exp(lnpi)
+        w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
+        wsum = jnp.sum(w, axis=-1)  # [P]
+        mom2d = h.mom.reshape(meta.n_addr, N)  # [A,N]
+        pm = jnp.einsum("pn,an->pa", w, mom2d)  # [P,A] — MXU matmul when batched
+        pm = pm / jnp.where(wsum > 0, wsum, 1.0)[:, None]
+        mom_avg = pm.reshape((P,) + meta.mom_shape(1)[:-1])
+    else:
+        mom_avg = jnp.zeros((P,) + meta.mom_shape(1)[:-1], dtype=lnpi.dtype)
+
+    return h, PhaseThermo(
+        fe=fe,
+        left=lefts,
+        right=rights,
+        mask=mask,
+        mom_avg=mom_avg,
+        n_phases=n_phases,
+        valid=valid,
+    )
+
+
+def phase_props(pt: PhaseThermo, volume) -> dict:
+    """Extensive per-phase properties from averaged moments.
+
+    Parity: gc_hist.pyx:543-552 (n_i, ntot, density, u, x_i).
+    Returns dict of padded [P(,S)] arrays.
+    """
+    n_i = pt.mom_avg[:, :, 1, 0, 0, 0]  # [P,S]
+    ntot = jnp.sum(n_i, axis=-1)
+    u = pt.mom_avg[:, 0, 0, 0, 0, 1]
+    safe = jnp.where(ntot != 0, ntot, 1.0)
+    x_i = n_i / safe[:, None]
+    return {
+        "n_i": n_i,
+        "ntot": ntot,
+        "density": ntot / volume,
+        "u": u,
+        "x_i": x_i,
+    }
+
+
+def is_safe(h: Hist, meta: HistMeta, cutoff: float = 10.0, complete: bool = False):
+    """Edge-effect guard (gc_hist.pyx:556-596)."""
+    lnpi = h.lnpi
+    if complete:
+        return (jnp.max(lnpi, axis=-1) - lnpi[..., -1]) >= cutoff
+    ext = relextrema(normalize_lnpi(lnpi), meta.smooth, meta.max_phases)
+    last_max = jnp.take(ext.maxima, ext.n_max - 1, mode="clip")
+    return (jnp.take(lnpi, last_max) - lnpi[..., -1]) >= cutoff
