@@ -98,6 +98,38 @@ def all_addresses(nspec: int, max_order: int) -> list[Addr]:
     ]
 
 
+def canonical_powers(a: Addr) -> tuple[int, int, int]:
+    """Physical identity of a stored moment row: powers (n1, n2, u).
+
+    The 6-D tensor stores N_i^j * N_k^m * U^p, so distinct addresses can
+    hold the same physical moment (e.g. (0,1,1,0,p) == (1,0,0,1,p) ==
+    N_1^1).  Valid composite files store these bit-identically (the
+    simulator writes the same scalar); this key drives exact deduplication
+    of the per-phase moment contraction.
+    """
+    i, j, k, m, p = a
+    n1 = (j if i == 0 else 0) + (m if k == 0 else 0)
+    n2 = (j if i == 1 else 0) + (m if k == 1 else 0)
+    return (n1, n2, p)
+
+
+def unique_row_map(nspec: int, max_order: int) -> tuple[list[int], list[int]]:
+    """(unique_flat_indices, inverse) for deduplicating the flattened
+    [A, N] moments matrix by physical identity.  mom2d[unique][inverse]
+    reconstructs all A rows."""
+    addrs = all_addresses(nspec, max_order)
+    first: dict = {}
+    uniq: list[int] = []
+    inverse: list[int] = []
+    for flat, a in enumerate(addrs):
+        key = canonical_powers(a)
+        if key not in first:
+            first[key] = len(uniq)
+            uniq.append(flat)
+        inverse.append(first[key])
+    return uniq, inverse
+
+
 def gated_addresses(nspec: int, max_order: int, order: int) -> list[Addr]:
     """Addresses whose derivatives of the given order are representable:
     j + m + p + order <= max_order (the gate at gc_hist.pyx:2157, 2198, 2244).

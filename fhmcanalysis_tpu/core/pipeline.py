@@ -1,0 +1,123 @@
+"""Batched device pipelines over state-point grids.
+
+These are the TPU-native replacements for the reference's serial workflows:
+one jitted launch sweeps an entire (mu, beta, dMu) grid — reweight,
+normalize, segment, integrate — where the reference loops pixel by pixel
+with deepcopies and gc.collect() (gc_binary.pyx:243-290, 406-410).
+
+All outputs are fixed-shape padded arrays + masks; failed state points
+surface as mask=False / NaN rather than exceptions (SURVEY §5 rebuild
+contract).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .extrap import temp_dmu_extrap
+from .ops import reweight
+from .segment import phase_props, thermo, thermo_core
+from .state import Hist, HistMeta
+
+__all__ = ["mu_sweep_thermo", "mu_beta_sweep_thermo", "most_stable_phase"]
+
+
+def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
+    """Fused reweight+normalize+thermo for one state point.
+
+    Computes exp once: the normalization shift and the probability weights
+    share the same exp(x - max) intermediates (f64 exp is the dominant
+    VPU cost under TPU f64 emulation).
+    """
+    x = h.lnpi + (mu1 - h.curr_mu[..., 0]) * h.curr_beta * h.op
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    lnpi = x - (m + jnp.log(s))
+    prob = e / s
+    pt = thermo_core(lnpi, prob, h.mom, meta, props=props)
+    out = {
+        "fe": pt.fe,
+        "mask": pt.mask,
+        "left": pt.left,
+        "right": pt.right,
+        "n_phases": pt.n_phases,
+        "valid": pt.valid,
+    }
+    if props:
+        out.update(phase_props(pt, h.volume))
+    return out
+
+
+@partial(jax.jit, static_argnames=("meta", "props"))
+def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True):
+    """Reweight + thermo over a 1-D grid of mu_1 values in one launch.
+
+    Returns dict of arrays with leading axis len(mu_grid): per-phase padded
+    free energies, bounds, masks and (optionally) phase properties.
+    """
+    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props))(jnp.asarray(mu_grid))
+
+
+def mu_beta_sweep_body(
+    h: Hist,
+    meta: HistMeta,
+    mu_grid,
+    beta_grid,
+    dmu_grid,
+    order: int = 1,
+    props: bool = True,
+    first_order_mom: bool = False,
+):
+    """Unjitted body of the (mu_1, beta, dMu) product sweep; see
+    mu_beta_sweep_thermo.  Exposed so sharded multi-chip drivers can embed
+    it in their own jit with mesh in/out shardings."""
+    mu_grid = jnp.asarray(mu_grid)
+    beta_grid = jnp.atleast_1d(jnp.asarray(beta_grid))
+    dmu_grid = jnp.atleast_2d(jnp.asarray(dmu_grid))
+    if dmu_grid.shape[0] == 1:
+        dmu_grid = jnp.broadcast_to(dmu_grid, (beta_grid.shape[0], dmu_grid.shape[1]))
+
+    def point(mu, beta, dmu):
+        hh = reweight(h, mu)
+        hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=not props, first_order_mom=first_order_mom)
+        hh, pt = thermo(hh, meta, props=props)
+        out = {"fe": pt.fe, "mask": pt.mask, "n_phases": pt.n_phases, "valid": pt.valid}
+        if props:
+            out.update(phase_props(pt, hh.volume))
+        return out
+
+    inner = jax.vmap(point, in_axes=(None, 0, 0))  # over (beta, dmu)
+    return jax.vmap(inner, in_axes=(0, None, None))(mu_grid, beta_grid, dmu_grid)
+
+
+@partial(jax.jit, static_argnames=("meta", "order", "props", "first_order_mom"))
+def mu_beta_sweep_thermo(
+    h: Hist,
+    meta: HistMeta,
+    mu_grid,
+    beta_grid,
+    dmu_grid,
+    order: int = 1,
+    props: bool = True,
+    first_order_mom: bool = False,
+):
+    """Full (mu_1, beta, dMu) product sweep: reweight -> joint Taylor
+    extrapolation -> thermo, one launch.
+
+    mu_grid: [M], beta_grid: [A], dmu_grid: [A or 1, S-1] paired with beta
+    via broadcasting against the grid: every (mu, (beta, dmu)) pair is
+    evaluated; returns leading axes [M, A].
+    """
+    return mu_beta_sweep_body(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom)
+
+
+def most_stable_phase(fe, mask):
+    """Index of the minimum-free-energy phase among valid slots.
+
+    Parity: _get_most_stable_phase (gc_binary.pyx:83-107).
+    """
+    return jnp.argmin(jnp.where(mask, fe, jnp.inf), axis=-1)

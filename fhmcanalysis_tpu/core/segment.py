@@ -209,22 +209,21 @@ def phase_bounds(ext: Extrema, nbins: int, max_phases: int):
     """Integration bounds per phase via the running minima counter.
 
     Parity: the min_ctr walk at gc_hist.pyx:498-520, including the
-    final-endpoint inclusion rule (right == N-1 -> N).
+    final-endpoint inclusion rule (right == N-1 -> N).  The walk has a
+    closed form: maxima indices are sorted and unique, so only phase 0 can
+    have its maximum at bin 0 — the counter is simply p (+1 less the
+    max-first offset).
     """
     N = nbins
-
-    def body(min_ctr, p):
-        mx = jnp.take(ext.maxima, p, mode="clip")
-        interior_left = mx > 0
-        left = jnp.where(interior_left, jnp.take(ext.minima, min_ctr, mode="clip"), 0)
-        min_ctr = min_ctr + interior_left.astype(jnp.int32)
-        right = jnp.where(mx < N - 1, jnp.take(ext.minima, min_ctr, mode="clip"), N)
-        right = jnp.where(right == N - 1, N, right)
-        return min_ctr, (left.astype(jnp.int32), right.astype(jnp.int32))
-
-    _, (lefts, rights) = lax.scan(body, jnp.array(0, dtype=jnp.int32), jnp.arange(max_phases, dtype=jnp.int32))
-    mask = jnp.arange(max_phases, dtype=jnp.int32) < ext.n_max
-    return lefts, rights, mask
+    P = max_phases
+    p = jnp.arange(P, dtype=jnp.int32)
+    s = (ext.maxima[0] == 0).astype(jnp.int32)  # max-first: no leading minimum consumed
+    mx = ext.maxima[:P]
+    left = jnp.where(mx > 0, jnp.take(ext.minima, jnp.clip(p - s, 0, None), mode="clip"), 0)
+    right = jnp.where(mx < N - 1, jnp.take(ext.minima, p + 1 - s, mode="clip"), N)
+    right = jnp.where(right == N - 1, N, right)
+    mask = p < ext.n_max
+    return left.astype(jnp.int32), right.astype(jnp.int32), mask
 
 
 def thermo(
@@ -232,16 +231,47 @@ def thermo(
     meta: HistMeta,
     props: bool = True,
     complete: bool = False,
+    dedupe_mom: bool = True,
 ) -> tuple[Hist, PhaseThermo]:
     """Normalize, segment, and integrate per-phase thermodynamics.
 
     Parity: histogram.thermo (gc_hist.pyx:451-554).  Returns the
-    (normalized) state and a padded PhaseThermo.  F.E./kT is reported
-    relative to the first bin; moment averages use probability weights.
+    (normalized) state and a padded PhaseThermo.
+
+    F.E./kT is computed from per-phase probability sums: with lnPI
+    normalized, -ln sum_seg exp(lnPI - lnPI[0]) == lnPI[0] - ln(sum_seg
+    prob) — one log per phase instead of a [P,N] masked logsumexp.  (A
+    phase whose entire probability mass underflows f64 would read +inf
+    here; the reference raises FloatingPointError on the same input,
+    np.seterr at gc_hist.pyx:29.)
+
+    dedupe_mom exploits the storage symmetry mom[i,j,k,m,p] ==
+    mom[k,m,i,j,p] (always true for simulator-written composites) to
+    contract only the ~45 physically unique rows instead of all
+    nspec^2*(mo+1)^3.  Set False for hand-built asymmetric tensors.
     """
-    P = meta.max_phases
     lnpi = normalize_lnpi(h.lnpi)
     h = h.replace(lnpi=lnpi)
+    pt = thermo_core(lnpi, jnp.exp(lnpi), h.mom, meta, props=props, complete=complete, dedupe_mom=dedupe_mom)
+    return h, pt
+
+
+def thermo_core(
+    lnpi: jax.Array,
+    prob: jax.Array,
+    mom: jax.Array,
+    meta: HistMeta,
+    props: bool = True,
+    complete: bool = False,
+    dedupe_mom: bool = True,
+) -> PhaseThermo:
+    """Segmentation + integration given normalized lnPI and its exp.
+
+    Separated so fused sweep pipelines can share one exp between
+    normalization and integration (exp dominates the non-matmul cost of a
+    sweep point on TPU-emulated f64).
+    """
+    P = meta.max_phases
     N = lnpi.shape[-1]
     idx = jnp.arange(N, dtype=jnp.int32)
 
@@ -259,23 +289,35 @@ def thermo(
 
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
-    # F.E./kT = -ln sum exp(lnPI - lnPI[0]) over the phase (gc_hist.pyx:523-526)
-    rel = lnpi - lnpi[..., 0:1]
-    fe = -logsumexp(jnp.broadcast_to(rel[None, :], (P, N)), axis=-1, where=in_range)
-    fe = jnp.where(mask, fe, 0.0)
+    w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
+    wsum = jnp.sum(w, axis=-1)  # [P]
+
+    # F.E./kT relative to the first bin (gc_hist.pyx:523-526)
+    fe = lnpi[..., 0] - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
+    fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
 
     if props:
-        prob = jnp.exp(lnpi)
-        w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
-        wsum = jnp.sum(w, axis=-1)  # [P]
-        mom2d = h.mom.reshape(meta.n_addr, N)  # [A,N]
-        pm = jnp.einsum("pn,an->pa", w, mom2d)  # [P,A] — MXU matmul when batched
+        mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
+        if dedupe_mom:
+            from .moments import unique_row_map
+
+            uniq, inverse = unique_row_map(meta.nspec, meta.max_order)
+            mom_rows = mom2d[jnp.array(uniq)]  # [U,N]
+        else:
+            mom_rows = mom2d
+        # broadcast-multiply-reduce: XLA's f64 dot lowering is ~4x slower
+        # than the fused VPU mul+reduce on TPU, so spell it out.
+        pm_u = jnp.sum(w[:, None, :] * mom_rows[None, :, :], axis=-1)  # [P,U]
+        if dedupe_mom:
+            pm = pm_u[:, jnp.array(inverse)]  # [P,A]
+        else:
+            pm = pm_u
         pm = pm / jnp.where(wsum > 0, wsum, 1.0)[:, None]
         mom_avg = pm.reshape((P,) + meta.mom_shape(1)[:-1])
     else:
         mom_avg = jnp.zeros((P,) + meta.mom_shape(1)[:-1], dtype=lnpi.dtype)
 
-    return h, PhaseThermo(
+    return PhaseThermo(
         fe=fe,
         left=lefts,
         right=rights,

@@ -1,0 +1,91 @@
+"""Multi-chip sharding of state-point grids over a jax.sharding.Mesh.
+
+Domain mapping (SURVEY §2.7): the reference is entirely serial; the only
+axes worth scaling across chips here are the *state-point grids* —
+histograms are tiny (10^2-10^4 bins) and replicated, grids are large and
+sharded.  We use a 2-D mesh:
+
+  - axis "mu":    shards the mu_1 sweep axis (the data-parallel axis)
+  - axis "state": shards the (beta, dMu) target axis
+
+Cross-chip communication is limited to the global reductions of solver
+steps (argmin over a sharded coexistence-error grid, global min free
+energy); XLA inserts the psum/all-reduce collectives over ICI from the
+output sharding — no hand-written communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as Psp
+
+from ..core import pipeline as _pipeline
+from ..core.state import Hist, HistMeta
+
+__all__ = ["grid_mesh", "sharded_mu_beta_sweep", "replicate", "shard_axis"]
+
+
+def grid_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """Build a 2-D ("mu", "state") mesh over the given/available devices.
+
+    Factors n into the most-square (a, b) split so both grid axes scale.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    a = int(np.floor(np.sqrt(n_devices)))
+    while n_devices % a:
+        a -= 1
+    return Mesh(devices.reshape(a, n_devices // a), ("mu", "state"))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    s = NamedSharding(mesh, Psp())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_axis(mesh: Mesh, x, axis_name: str):
+    """Shard a 1-D/2-D array's leading axis along the named mesh axis."""
+    ndim = jnp.asarray(x).ndim
+    spec = Psp(axis_name, *([None] * (ndim - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def sharded_mu_beta_sweep(
+    mesh: Mesh,
+    h: Hist,
+    meta: HistMeta,
+    mu_grid,
+    beta_grid,
+    dmu_grid,
+    order: int = 1,
+    props: bool = True,
+):
+    """One sharded sweep step over the mesh + a global min-FE reduction.
+
+    The histogram is replicated; mu_grid shards over "mu", (beta, dMu)
+    over "state".  Returns (outputs dict with [M, A] leading axes, global
+    scalar min free energy).  The scalar forces an all-reduce across the
+    whole mesh — the collective pattern every global solve in this domain
+    needs.
+    """
+    h = replicate(mesh, h)
+    mu_grid = shard_axis(mesh, mu_grid, "mu")
+    beta_grid = shard_axis(mesh, beta_grid, "state")
+    dmu_grid = shard_axis(mesh, jnp.atleast_2d(jnp.asarray(dmu_grid)), "state")
+
+    @partial(jax.jit, static_argnames=("meta", "order", "props"))
+    def step(h, mus, betas, dmus, meta, order, props):
+        out = _pipeline.mu_beta_sweep_body(h, meta, mus, betas, dmus, order=order, props=props)
+        fe_valid = jnp.where(out["mask"], out["fe"], jnp.inf)
+        return out, jnp.min(fe_valid)
+
+    return step(h, mu_grid, beta_grid, dmu_grid, meta, order, props)

@@ -1,0 +1,81 @@
+"""Batched sweep pipelines: parity vs the host path, vmap/shard behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import fhmcanalysis_tpu.histogram.ntot as oneDH
+from fhmcanalysis_tpu.core import pipeline as P
+
+
+@pytest.fixture
+def hist(test_nc):
+    return oneDH.histogram(test_nc, 1.0, [5.0, 0.0], 1)
+
+
+def test_mu_sweep_matches_class_path(hist, test_nc):
+    hh, meta = hist._hist(), hist._meta()
+    mus = np.linspace(-2.0, 7.0, 64)
+    out = P.mu_sweep_thermo(hh, meta, mus, props=True)
+    for i in [0, 13, 31, 63]:
+        hc = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], 1)
+        hc.reweight(float(mus[i]))
+        hc.thermo()
+        nph = len(hc.data["thermo"])
+        msk = np.asarray(out["mask"][i])
+        assert msk.sum() == nph
+        fe_ref = np.array([hc.data["thermo"][p]["F.E./kT"] for p in range(nph)])
+        nt_ref = np.array([hc.data["thermo"][p]["ntot"] for p in range(nph)])
+        u_ref = np.array([hc.data["thermo"][p]["u"] for p in range(nph)])
+        x1_ref = np.array([hc.data["thermo"][p]["x1"] for p in range(nph)])
+        assert np.allclose(np.asarray(out["fe"][i])[msk], fe_ref, rtol=0, atol=1e-10)
+        assert np.allclose(np.asarray(out["ntot"][i])[msk], nt_ref, rtol=0, atol=1e-10)
+        assert np.allclose(np.asarray(out["u"][i])[msk], u_ref, rtol=0, atol=1e-10)
+        assert np.allclose(np.asarray(out["x_i"][i])[msk][:, 0], x1_ref, rtol=0, atol=1e-10)
+
+
+def test_mu_beta_sweep_matches_class_path(hist, test_nc):
+    hh, meta = hist._hist(), hist._meta()
+    mus = np.array([3.0, 5.0])
+    betas = np.array([1.05, 0.95])
+    dmus = np.array([[-4.5], [-5.5]])
+    out = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=1, props=True)
+    for i, mu in enumerate(mus):
+        for a in range(2):
+            hc = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], 1)
+            hc.reweight(float(mu))
+            hc2 = hc.temp_dmu_extrap(float(betas[a]), dmus[a], 1, 10.0, True, True, False)
+            hc2.thermo()
+            nph = len(hc2.data["thermo"])
+            msk = np.asarray(out["mask"][i, a])
+            assert msk.sum() == nph
+            fe_ref = np.array([hc2.data["thermo"][p]["F.E./kT"] for p in range(nph)])
+            assert np.allclose(np.asarray(out["fe"][i, a])[msk], fe_ref, rtol=0, atol=1e-9)
+
+
+def test_most_stable_phase():
+    fe = jnp.array([[1.0, -2.0, 0.0], [5.0, 3.0, -1.0]])
+    mask = jnp.array([[True, True, False], [True, False, False]])
+    idx = P.most_stable_phase(fe, mask)
+    assert list(np.asarray(idx)) == [1, 0]
+
+
+def test_sharded_sweep_matches_single_device(hist):
+    from fhmcanalysis_tpu.parallel import grid_mesh, sharded_mu_beta_sweep
+
+    hh, meta = hist._hist(), hist._meta()
+    n = min(8, len(jax.devices()))
+    mesh = grid_mesh(n)
+    M, A = 8, 4
+    mus = np.linspace(4.0, 6.0, M)
+    betas = np.linspace(0.95, 1.05, A)
+    dmus = np.tile([[-5.0]], (A, 1))
+
+    out_sharded, fe_min = sharded_mu_beta_sweep(mesh, hh, meta, mus, betas, dmus, order=1, props=True)
+    out_single = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=1, props=True)
+
+    assert np.allclose(np.asarray(out_sharded["fe"]), np.asarray(out_single["fe"]), equal_nan=True)
+    fe_valid = np.where(np.asarray(out_single["mask"]), np.asarray(out_single["fe"]), np.inf)
+    assert np.isclose(float(fe_min), fe_valid.min())
