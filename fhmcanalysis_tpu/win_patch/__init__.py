@@ -1,1 +1,3 @@
+from . import fhmc_equil, fhmc_patch, windows
 
+__all__ = ["fhmc_equil", "fhmc_patch", "windows"]
