@@ -10,6 +10,11 @@ The per-instance memo caches keep the unrolled graph small: each distinct
 
 Every public method mirrors a reference kernel 1:1 (cited per method) so
 the parity test-suite expectations transfer directly.
+
+``DerivEngineN1`` configures the same machinery for the N_1 order
+parameter (reference n1/gc_hist.pyx): the conjugate fields are the
+*absolute* chemical potentials, there is no N_tot^n weighting, no
+3rd-order beta support and no KE corrections.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from .state import Hist, HistMeta
 
 Addr = tuple[int, int, int, int, int]
 
-__all__ = ["DerivEngine"]
+__all__ = ["DerivEngine", "DerivEngineN1"]
 
 
 class DerivEngine:
@@ -484,3 +489,117 @@ class DerivEngine:
                 Hm = Hm.at[0, q].set(x)
 
         return H, Hm
+
+
+class DerivEngineN1(DerivEngine):
+    """Derivative kernels for the N_1 order parameter.
+
+    Differences from the N_tot engine (reference n1/gc_hist.pyx):
+    conjugate fields are absolute chemical potentials mu_1..mu_S (the
+    species-1 term enters via the order parameter N_1 itself), no
+    N_tot^n weighting anywhere, no KE corrections, no 3rd-order beta.
+    ``h.op`` must hold N_1.
+    """
+
+    def gc_dX_dB(self, x_idx: Addr, n: int = 0):
+        """d<mom[x]>/dB; the n argument is ignored as in the reference
+        (n1/gc_hist.pyx:1336-1367)."""
+        x_idx = tuple(x_idx)
+
+        def build():
+            X = self.m(x_idx)
+            der = self.mu[0] * self.gc_fluct_vi(X, (0, 1, 0, 0, 0))
+            der = der - self.gc_fluct_vi(X, (0, 0, 0, 0, 1))
+            for i in range(1, self.meta.nspec):
+                der = der + self.mu[i] * self.gc_fluct_vi(X, (i, 1, 0, 0, 0))
+            return der
+
+        return self._memoized(("gc_dB_n1", x_idx), build)
+
+    def sg_dX_dB(self, x_idx: Addr, n: int = 0):
+        """d<mom[x]>_N1/dB with absolute-mu conjugates
+        (n1/gc_hist.pyx:790-845)."""
+        x_idx = tuple(x_idx)
+
+        def build():
+            if self._zero_power(x_idx):
+                return jnp.zeros(self.nbins, dtype=self.lnpi.dtype)
+            self._check_order(x_idx)
+            mo = self.meta.max_order
+            f_XU = self.m((x_idx[0], x_idx[1], x_idx[2], x_idx[3], x_idx[4] + 1)) - self.m(x_idx) * self.m(
+                (0, 0, 0, 0, 1)
+            )
+            der = -f_XU
+            for i in range(1, self.meta.nspec):
+                if x_idx[0] == i and x_idx[1] + 1 <= mo:
+                    XNi = self.m((x_idx[0], x_idx[1] + 1, x_idx[2], x_idx[3], x_idx[4]))
+                elif x_idx[2] == i and x_idx[3] + 1 <= mo:
+                    XNi = self.m((x_idx[0], x_idx[1], x_idx[2], x_idx[3] + 1, x_idx[4]))
+                elif x_idx[1] == 0:
+                    XNi = self.m((i, 1, x_idx[2], x_idx[3], x_idx[4]))
+                elif x_idx[3] == 0:
+                    XNi = self.m((x_idx[0], x_idx[1], i, 1, x_idx[4]))
+                elif x_idx[0] == x_idx[2] and (x_idx[1] + x_idx[3] <= mo):
+                    XNi = self.m((x_idx[0], x_idx[1] + x_idx[3], i, 1, x_idx[4]))
+                else:
+                    raise ValueError("max_order too low to take this derivative")
+                f_XNi = XNi - self.m(x_idx) * self.m((i, 1, 0, 0, 0))
+                der = der + self.mu[i] * f_XNi
+            return der
+
+        return self._memoized(("sg_dB_n1", x_idx), build)
+
+    def sg_d2X_dB2(self, x_idx: Addr, n: int = 0):
+        """d2<mom[x]>_N1/dB2 (n1/gc_hist.pyx:1392-1438)."""
+        x_idx = tuple(x_idx)
+
+        def build():
+            if self._zero_power(x_idx):
+                return jnp.zeros(self.nbins, dtype=self.lnpi.dtype)
+            self._check_order(x_idx)
+            der = -self.sg_df_dB((x_idx, 0), ((0, 0, 0, 0, 1), 0))
+            for i in range(1, self.meta.nspec):
+                der = der + self.mu[i] * self.sg_df_dB((x_idx, 0), ((i, 1, 0, 0, 0), 0))
+            return der
+
+        return self._memoized(("sg_dB2_n1", x_idx), build)
+
+    def sg_d3X_dB3(self, x_idx: Addr, n: int = 0):
+        raise NotImplementedError("3rd-order beta extrapolation is not defined for the N_1 order parameter")
+
+    def dB(self, skip_mom: bool = False):
+        """First-order beta coefficients with absolute mus
+        (n1/gc_hist.pyx:739-788)."""
+        ave_u = self.gc_ave_i((0, 0, 0, 0, 1))
+        dlnpi = jnp.zeros(self.nbins, dtype=self.lnpi.dtype)
+        for i in range(self.meta.nspec):
+            ave_ni = self.gc_ave_i((i, 1, 0, 0, 0))
+            dlnpi = dlnpi + self.mu[i] * (self.m((i, 1, 0, 0, 0)) - ave_ni)
+        dlnpi = dlnpi - (self.m((0, 0, 0, 0, 1)) - ave_u)
+
+        if skip_mom:
+            dm = jnp.zeros(self.meta.mom_shape(self.nbins), dtype=self.lnpi.dtype)
+        else:
+            dm = self._mom_loop(1, lambda a: self.sg_dX_dB(a))
+        return dlnpi, dm
+
+    def dB2(self, skip_mom: bool = False):
+        """Second-order beta coefficients (n1/gc_hist.pyx:1295-1334)."""
+        d2 = jnp.zeros(self.nbins, dtype=self.lnpi.dtype)
+        for i in range(1, self.meta.nspec):
+            d2 = d2 + self.mu[i] * (self.sg_dX_dB((i, 1, 0, 0, 0)) - self.gc_dX_dB((i, 1, 0, 0, 0)))
+        d2 = d2 + self.mu[0] * (-self.gc_dX_dB((0, 1, 0, 0, 0)))
+        d2 = d2 - (self.sg_dX_dB((0, 0, 0, 0, 1)) - self.gc_dX_dB((0, 0, 0, 0, 1)))
+
+        if skip_mom:
+            dm2 = jnp.zeros(self.meta.mom_shape(self.nbins), dtype=self.lnpi.dtype)
+        else:
+            dm2 = self._mom_loop(2, lambda a: self.sg_d2X_dB2(a))
+        return d2, dm2
+
+    def dB3(self, skip_mom: bool = False):
+        raise NotImplementedError("3rd-order beta extrapolation is not defined for the N_1 order parameter")
+
+    # dBMU / dBMU2 are inherited verbatim: their structure is identical and
+    # every sub-kernel they call dispatches to the overrides above
+    # (n1/gc_hist.pyx:691-738, 954-1032).

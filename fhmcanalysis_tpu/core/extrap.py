@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .derivs import DerivEngine
+from .derivs import DerivEngine, DerivEngineN1
 from .numerics import normalize_lnpi
 from .state import Hist, HistMeta
 
@@ -25,6 +25,8 @@ __all__ = [
     "dmu_extrap",
     "temp_dmu_extrap",
     "temp_dmu_extrap_grid",
+    "temp_mu_extrap",
+    "temp_mu_extrap_grid",
 ]
 
 
@@ -32,14 +34,16 @@ def _dmu_of(h: Hist):
     return h.curr_mu[1:] - h.curr_mu[0]
 
 
-def temp_extrap(h: Hist, meta: HistMeta, target_beta, order: int = 1, skip_mom: bool = False) -> Hist:
+def temp_extrap(
+    h: Hist, meta: HistMeta, target_beta, order: int = 1, skip_mom: bool = False, engine_cls=DerivEngine
+) -> Hist:
     """Extrapolate in temperature only (orders 1-3).
 
     Parity: histogram.temp_extrap driver sequence (gc_hist.pyx:670-740):
     normalize, accumulate Taylor series, set curr_beta, renormalize.
     """
     h = h.replace(lnpi=normalize_lnpi(h.lnpi))
-    eng = DerivEngine(h, meta)
+    eng = engine_cls(h, meta)
     target_beta = jnp.asarray(target_beta, dtype=h.lnpi.dtype)
     dB = target_beta - h.curr_beta
 
@@ -165,6 +169,96 @@ def temp_dmu_extrap_grid(
     mu1 = h.curr_mu[0]
     curr_mu = jnp.concatenate(
         [jnp.full((A, B, 1), mu1, dtype=h.lnpi.dtype), mu1 + jnp.broadcast_to(target_dmus[None], (A, B, dDmu.shape[1]))],
+        axis=-1,
+    )
+    return Hist(
+        lnpi=normalize_lnpi(lnpi),
+        mom=mom,
+        op=jnp.broadcast_to(h.op, (A, B) + h.op.shape),
+        curr_mu=curr_mu,
+        curr_beta=curr_beta,
+        volume=jnp.broadcast_to(h.volume, (A, B)),
+    )
+
+
+def temp_mu_extrap(
+    h: Hist,
+    meta: HistMeta,
+    target_beta,
+    target_mus,
+    order: int = 1,
+    skip_mom: bool = False,
+) -> Hist:
+    """Joint (beta, absolute mu_2..mu_S) extrapolation for the N_1 engine.
+
+    Parity: n1 histogram.temp_mu_extrap (n1/gc_hist.pyx:566-1043).
+    xi = [dB, mu' - mu_curr] with absolute chemical potentials; note
+    the n1 second-order moment apply has no first_order_mom switch.
+    """
+    h = h.replace(lnpi=normalize_lnpi(h.lnpi))
+    eng = DerivEngineN1(h, meta)
+    target_beta = jnp.asarray(target_beta, dtype=h.lnpi.dtype)
+    target_mus = jnp.asarray(target_mus, dtype=h.lnpi.dtype)
+    dB = target_beta - h.curr_beta
+    dmu = target_mus - h.curr_mu[1:]
+    xi = jnp.concatenate([dB[None], dmu])  # [S]
+
+    d1, m1 = eng.dBMU(skip_mom)
+    lnpi = h.lnpi + jnp.tensordot(xi, d1, axes=1)
+    mom = h.mom + jnp.tensordot(xi, m1, axes=1)
+    if order >= 2:
+        H, Hm = eng.dBMU2(skip_mom)
+        lnpi = lnpi + 0.5 * jnp.einsum("r,rqn,q->n", xi, H, xi)
+        mom = mom + 0.5 * jnp.einsum("r,rq...,q->...", xi, Hm, xi)
+    if order > 2 or order < 1:
+        raise ValueError("No implementation for temperature + mu extrapolation of order %d" % order)
+
+    new_mu = h.curr_mu.at[1:].set(target_mus)
+    return h.replace(lnpi=normalize_lnpi(lnpi), mom=mom, curr_beta=target_beta, curr_mu=new_mu)
+
+
+def temp_mu_extrap_grid(
+    h: Hist,
+    meta: HistMeta,
+    target_betas,
+    target_mus,
+    order: int = 1,
+    skip_mom: bool = False,
+) -> Hist:
+    """Batched (beta, absolute mu) grid extrapolation for the N_1 engine.
+
+    Replaces temp_mu_extrap_multi (n1/gc_hist.pyx:1497-1733) with one
+    einsum broadcast; returns a Hist with leading axes [n_beta, n_mu].
+    """
+    h = h.replace(lnpi=normalize_lnpi(h.lnpi))
+    eng = DerivEngineN1(h, meta)
+    target_betas = jnp.atleast_1d(jnp.asarray(target_betas, dtype=h.lnpi.dtype))
+    target_mus = jnp.atleast_2d(jnp.asarray(target_mus, dtype=h.lnpi.dtype))  # [B,S-1]
+    A, B = target_betas.shape[0], target_mus.shape[0]
+
+    dB = target_betas - h.curr_beta
+    dmu = target_mus - h.curr_mu[1:]
+    xi = jnp.concatenate(
+        [jnp.broadcast_to(dB[:, None, None], (A, B, 1)), jnp.broadcast_to(dmu[None, :, :], (A, B, dmu.shape[1]))],
+        axis=-1,
+    )
+
+    d1, m1 = eng.dBMU(skip_mom)
+    lnpi = h.lnpi[None, None, :] + jnp.einsum("abs,sn->abn", xi, d1)
+    mom = h.mom[None, None] + jnp.einsum("abs,s...->ab...", xi, m1)
+    if order >= 2:
+        H, Hm = eng.dBMU2(skip_mom)
+        lnpi = lnpi + 0.5 * jnp.einsum("abr,rqn,abq->abn", xi, H, xi)
+        mom = mom + 0.5 * jnp.einsum("abr,rq...,abq->ab...", xi, Hm, xi)
+    if order > 2 or order < 1:
+        raise ValueError("No implementation for temperature + mu extrapolation of order %d" % order)
+
+    curr_beta = jnp.broadcast_to(target_betas[:, None], (A, B))
+    curr_mu = jnp.concatenate(
+        [
+            jnp.full((A, B, 1), h.curr_mu[0], dtype=h.lnpi.dtype),
+            jnp.broadcast_to(target_mus[None], (A, B, dmu.shape[1])),
+        ],
         axis=-1,
     )
     return Hist(
