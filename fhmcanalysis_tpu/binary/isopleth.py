@@ -1,0 +1,670 @@
+"""Binary-mixture isopleths over the (mu_1, dmu_2) plane.
+
+Parity target: /root/reference/moments/histogram/one_dim/ntot/gc_binary.pyx.
+
+The reference walks the grid pixel by pixel — reweight, extrapolate, mix,
+thermo, with gc.collect() every iteration (gc_binary.pyx:243-290,
+406-476).  Here the whole surface is two fused device launches per source
+histogram:
+
+  stage 1  vmap over the mu_1 axis: reweight + joint (beta, dMu) Taylor
+           coefficients once per (source, mu_1)
+  stage 2  vmap over all (mu_1, dmu_2) cells: apply the Taylor series for
+           the bracketing sources, distance-weight mix, segment, integrate,
+           select the most stable phase
+
+Failed cells (edge effects, invalid segmentation, unsafe tails) surface as
+zeros in the output grids, matching the reference's print-and-continue
+behavior.  ``get_iso`` uses a native marching-squares tracer instead of
+the reference's matplotlib-contour dependency (gc_binary.pyx:659).
+"""
+
+from __future__ import annotations
+
+import bisect
+import copy
+import json
+import operator
+from functools import partial
+
+import numpy as np
+import scipy.interpolate
+import scipy.ndimage
+
+import jax
+import jax.numpy as jnp
+
+from ..core import ops as _ops
+from ..core import segment as _segment
+from ..core.derivs import DerivEngine
+from ..core.numerics import normalize_lnpi
+from ..core.state import Hist, HistMeta
+from ..histogram import ntot as gch
+
+__all__ = [
+    "isopleth",
+    "get_iso",
+    "check_gibbs_duhem",
+    "parameterize_mesh",
+    "combine_isopleth_grids",
+]
+
+
+def _find_left_right(ordered_dmu2, val, bound=False):
+    """Bracketing indices of val in a sorted dmu2 array
+    (gc_binary.pyx:31-79)."""
+    tol = 1.0e-9
+    ordered_dmu2 = np.asarray(ordered_dmu2)
+    if val <= np.min(ordered_dmu2):
+        return (0, 0) if bound else (-1, -1)
+    elif val >= np.max(ordered_dmu2):
+        n = len(ordered_dmu2)
+        return (n - 1, n - 1) if bound else (n, n)
+    elif np.any([np.isclose(val, x) for x in ordered_dmu2]):
+        x = np.where(np.abs(ordered_dmu2 - val) < tol)[0]
+        if len(x) != 1:
+            raise Exception("dmu2 values repeat, %s , %s , %s" % (x, ordered_dmu2, val))
+        return int(x[0]), int(x[0])
+    left = bisect.bisect(list(ordered_dmu2), val) - 1
+    return left, left + 1
+
+
+def _get_most_stable_phase(hist):
+    """Index of the minimum free-energy phase (gc_binary.pyx:83-107)."""
+    free_energy = {p: hist.data["thermo"][p]["F.E./kT"] for p in hist.data["thermo"]}
+    return sorted(free_energy.items(), key=operator.itemgetter(1))[0][0]
+
+
+# ----------------------------------------------------------------------
+# device kernels
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("meta", "order"))
+def _source_derivs(h: Hist, meta: HistMeta, mu1_v, beta_target, cutoff, order: int):
+    """Stage 1: per-mu_1 reweighted state + joint Taylor coefficients for
+    one source histogram.  Replaces the reference's per-column
+    temp_dmu_extrap_multi calls (gc_binary.pyx:257-269)."""
+
+    def one(mu):
+        hh = _ops.reweight(h, mu)
+        eng = DerivEngine(hh, meta)
+        d1, m1 = eng.dBMU(False)
+        if order >= 2:
+            H, Hm = eng.dBMU2(False)
+        else:
+            S = meta.nspec
+            H = jnp.zeros((S, S, hh.lnpi.shape[-1]), dtype=hh.lnpi.dtype)
+            Hm = jnp.zeros((S, S) + meta.mom_shape(hh.lnpi.shape[-1]), dtype=hh.lnpi.dtype)
+        edge_ok = (jnp.max(hh.lnpi) - cutoff) > hh.lnpi[-1]
+        return hh.lnpi, d1, m1, H, Hm, edge_ok
+
+    return jax.vmap(one)(jnp.asarray(mu1_v))
+
+
+@partial(jax.jit, static_argnames=("meta", "order"))
+def _grid_eval(
+    lnpi_rw,  # [W, NX, N]   reweighted lnPI per source per mu_1
+    mom_src,  # [W, ...moments..., N]
+    d1,  # [W, NX, S, N]
+    m1,  # [W, NX, S, ...moments...]
+    H,  # [W, NX, S, S, N]
+    Hm,  # [W, NX, S, S, ...moments...]
+    edge_ok,  # [W, NX] bool
+    dmu2_src,  # [W]
+    lr,  # [NY, 2] int bracketing source indices
+    wts,  # [NY, 2] mixing weights
+    dmu2_v,  # [NY]
+    beta_target,
+    beta_ref,
+    meta: HistMeta,
+    volume,
+    cutoff,
+    order: int,
+):
+    """Stage 2: extrapolate both bracket sources, mix, segment, integrate,
+    pick most stable phase — for every (mu_1, dmu_2) cell at once."""
+    NX = lnpi_rw.shape[1]
+    NY = lr.shape[0]
+    P = meta.max_phases
+
+    def cell(ix, iy):
+        def extrap(src):
+            xi = jnp.concatenate(
+                [jnp.atleast_1d(beta_target - beta_ref), jnp.atleast_1d(dmu2_v[iy] - dmu2_src[src])]
+            )
+            ln = lnpi_rw[src, ix] + jnp.einsum("s,sn->n", xi, d1[src, ix])
+            mm = mom_src[src] + jnp.einsum("s,s...->...", xi, m1[src, ix])
+            if order >= 2:
+                ln = ln + 0.5 * jnp.einsum("r,rqn,q->n", xi, H[src, ix], xi)
+                mm = mm + 0.5 * jnp.einsum("r,rq...,q->...", xi, Hm[src, ix], xi)
+            return normalize_lnpi(ln), mm
+
+        l = lr[iy, 0]
+        r = lr[iy, 1]
+        lnL, momL = extrap(l)
+        lnR, momR = extrap(r)
+        w0, w1 = wts[iy, 0], wts[iy, 1]
+        ln_m = (lnL * w0 + lnR * w1) / (w0 + w1)
+        mom_m = (momL * w0 + momR * w1) / (w0 + w1)
+
+        lnpi = normalize_lnpi(ln_m)
+        prob = jnp.exp(lnpi)
+        pt = _segment.thermo_core(lnpi, prob, mom_m, meta, props=True)
+        props = _segment.phase_props(pt, volume)
+
+        stable = jnp.argmin(jnp.where(pt.mask, pt.fe, jnp.inf))
+        # is_safe: last maximum at least `cutoff` above the tail
+        ext = _segment.relextrema(lnpi, meta.smooth, P)
+        last_max = jnp.take(ext.maxima, ext.n_max - 1, mode="clip")
+        safe = (jnp.take(lnpi, last_max) - lnpi[-1]) >= cutoff
+        ok = pt.valid & safe & edge_ok[l, ix] & edge_ok[r, ix]
+
+        x1 = jnp.take(props["x_i"][:, 0], stable)
+        rho = jnp.take(props["density"], stable)
+        fe = jnp.take(pt.fe, stable)
+        z = jnp.where(ok, x1, 0.0)
+        return z, jnp.where(ok, rho, 0.0), jnp.where(ok, fe, 0.0), ok
+
+    cells = jax.vmap(jax.vmap(cell, in_axes=(None, 0)), in_axes=(0, None))
+    return cells(jnp.arange(NX), jnp.arange(NY))
+
+
+class isopleth(object):
+    """Isopleths from a series of (mu_1, dmu_2) histograms
+    (gc_binary.pyx:109-564)."""
+
+    def __init__(self, histograms, beta_target, order=2):
+        if not isinstance(histograms, (list, np.ndarray)):
+            raise Exception("Expects an array of histograms to construct isopleths")
+        for h in histograms:
+            if not isinstance(h, gch.histogram):
+                raise Exception("Expects a vector of histograms to construct isopleths")
+        if beta_target <= 0:
+            raise Exception("Illegal beta, cannot construct isopleths")
+        if order < 1 or order > 2:
+            raise Exception("Illegal order, cannot construct isopleths")
+
+        self.meta = {"beta": beta_target, "tol": 1.0e-9, "order": order, "cutoff": 10.0}
+        self.clear()
+
+        t_ = -1.0
+        dummy = {}
+        for h in histograms:
+            if h.data["nspec"] != 2:
+                raise Exception("Component mismatch in isopleth generation")
+            if len(h.data["curr_mu"]) != 2:
+                raise Exception(
+                    "Only expects 2 chemical potentials, one for each component, cannot construct isopleth"
+                )
+            dmu2 = float(h.data["curr_mu"][1] - h.data["curr_mu"][0])
+            dummy[dmu2] = h
+            if t_ > 0:
+                if abs(h.metadata["beta_ref"] - t_) > self.meta["tol"]:
+                    raise Exception("Expects all histograms to be performed at the same temperature")
+            else:
+                if h.metadata["beta_ref"] <= 0:
+                    raise Exception("Illegal temperature in histograms")
+                t_ = h.metadata["beta_ref"]
+        dummy_sorted = sorted(dummy.items(), key=operator.itemgetter(0))
+
+        self.data["dmu2"] = np.array([x[0] for x in dummy_sorted])
+        self.data["histograms"] = [copy.deepcopy(x[1]) for x in dummy_sorted]
+
+    def clear(self):
+        self.data = {}
+
+    # ------------------------------------------------------------------
+
+    def _bracket(self, dmu2_v, m):
+        """Bracketing indices + complementary distance^m weights per row
+        (gc_binary.pyx:225-240)."""
+        ny = len(dmu2_v)
+        lr = np.zeros((ny, 2), dtype=np.int32)
+        wts = np.zeros((ny, 2))
+        for i in range(ny):
+            lr[i, 0], lr[i, 1] = _find_left_right(self.data["dmu2"], dmu2_v[i], True)
+            dl = abs(self.data["dmu2"][lr[i, 0]] - dmu2_v[i]) ** m
+            dr = abs(self.data["dmu2"][lr[i, 1]] - dmu2_v[i]) ** m
+            if dl + dr < 1.0e-9:
+                assert lr[i, 0] == lr[i, 1], "Unknown mixing distance error"
+                wts[i] = [1.0, 1.0]
+            else:
+                wts[i] = [dr / (dr + dl), dl / (dr + dl)]
+        return lr, wts
+
+    def _grids(self, mu1_bounds, dmu2_bounds, delta):
+        for name, b in (("mu1_bound", mu1_bounds), ("dmu2_bound", dmu2_bounds), ("delta", delta)):
+            if not isinstance(b, (list, np.ndarray, tuple)):
+                raise Exception("Expects an array of %s values to construct isopleths" % name)
+            if len(b) != 2:
+                raise Exception("%s error in constructing isopleths" % name)
+        if mu1_bounds[1] <= mu1_bounds[0]:
+            raise Exception("mu1_bound error in constructing isopleths")
+        if dmu2_bounds[1] <= dmu2_bounds[0]:
+            raise Exception("dmu2_bound error in constructing isopleths")
+        if delta[0] <= 0 or delta[1] <= 0:
+            raise Exception("delta error in constructing isopleths")
+        nx = int(np.ceil((mu1_bounds[1] - mu1_bounds[0]) / delta[0])) + 1
+        ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
+        return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
+
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5):
+        """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
+        batched device computation (replaces gc_binary.pyx:355-476).
+
+        Returns (grid_x1, (grid_mu1, grid_dmu2)); failed cells are 0.
+        """
+        mu1_v, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
+        lr, wts = self._bracket(dmu2_v, m)
+
+        self.data["X"], self.data["Y"] = np.meshgrid(mu1_v, dmu2_v)
+
+        # stage 1: derivatives per (source, mu1)
+        needed = sorted(set(lr.ravel().tolist()))
+        W = len(self.data["histograms"])
+        src0 = self.data["histograms"][0]
+        hh0, meta = src0._hist(), src0._meta()
+        n = hh0.lnpi.shape[-1]
+
+        lnpi_rw = np.zeros((W, len(mu1_v), n))
+        d1 = np.zeros((W, len(mu1_v), 2, n))
+        m1 = np.zeros((W, len(mu1_v), 2) + meta.mom_shape(n))
+        H = np.zeros((W, len(mu1_v), 2, 2, n))
+        Hm = np.zeros((W, len(mu1_v), 2, 2) + meta.mom_shape(n))
+        edge_ok = np.zeros((W, len(mu1_v)), dtype=bool)
+        mom_src = np.zeros((W,) + meta.mom_shape(n))
+        dmu2_src = np.zeros(W)
+        beta_ref = None
+
+        for j in needed:
+            hj = self.data["histograms"][j]
+            hhj = hj._hist()
+            if hhj.lnpi.shape[-1] != n:
+                raise Exception("Isopleth source histograms must share the same order-parameter range")
+            out = _source_derivs(hhj, meta, mu1_v, self.meta["beta"], self.meta["cutoff"], self.meta["order"])
+            lnpi_rw[j], d1[j], m1[j], H[j], Hm[j], edge_ok[j] = (np.asarray(o) for o in out)
+            mom_src[j] = np.asarray(hhj.mom)
+            dmu2_src[j] = float(hhj.curr_mu[1] - hhj.curr_mu[0])
+            beta_ref = float(hhj.curr_beta)
+
+        # stage 2: all cells at once
+        z, rho, fe, ok = _grid_eval(
+            jnp.asarray(lnpi_rw),
+            jnp.asarray(mom_src),
+            jnp.asarray(d1),
+            jnp.asarray(m1),
+            jnp.asarray(H),
+            jnp.asarray(Hm),
+            jnp.asarray(edge_ok),
+            jnp.asarray(dmu2_src),
+            jnp.asarray(lr),
+            jnp.asarray(wts),
+            jnp.asarray(dmu2_v),
+            self.meta["beta"],
+            beta_ref,
+            meta,
+            float(src0.data["volume"]),
+            self.meta["cutoff"],
+            self.meta["order"],
+        )
+
+        # meshgrid "xy" convention: rows are dmu2, columns mu1
+        self.data["Z"] = np.asarray(z).T
+        self.data["density"] = np.asarray(rho).T
+        self.data["F.E./kT"] = np.asarray(fe).T
+        self.data["valid"] = np.asarray(ok).T
+        return self.data["Z"], (self.data["X"], self.data["Y"])
+
+    # the chunked variant of the reference is subsumed by the batched path
+    make_grid_multi = make_grid
+
+    def get_hist(self, mu1, dmu2, m=2.5):
+        """Interpolated histogram at one (mu_1, dmu_2) (gc_binary.pyx:292-353)."""
+        left, right = _find_left_right(self.data["dmu2"], dmu2, False)
+
+        if left == right:
+            if left < 0:
+                h_l = self.data["histograms"][0]
+            elif left == len(self.data["dmu2"]):
+                h_l = self.data["histograms"][-1]
+            else:
+                h_l = self.data["histograms"][left]
+            try:
+                h_l.reweight(mu1)
+                h_m = h_l.temp_dmu_extrap(
+                    self.meta["beta"], np.array([dmu2], dtype=np.float64), self.meta["order"],
+                    self.meta["cutoff"], False, True, False,
+                )
+            except Exception as e:
+                raise Exception("Unable to get histogram : %s" % e)
+        else:
+            h_l = self.data["histograms"][left]
+            h_r = self.data["histograms"][right]
+            try:
+                h_l.reweight(mu1)
+                h_l = h_l.temp_dmu_extrap(
+                    self.meta["beta"], np.array([dmu2], dtype=np.float64), self.meta["order"],
+                    self.meta["cutoff"], False, True, False,
+                )
+                h_r.reweight(mu1)
+                h_r = h_r.temp_dmu_extrap(
+                    self.meta["beta"], np.array([dmu2], dtype=np.float64), self.meta["order"],
+                    self.meta["cutoff"], False, True, False,
+                )
+            except Exception as e:
+                raise Exception("Unable to get histogram : %s" % e)
+            dl = abs(self.data["dmu2"][left] - dmu2) ** m
+            dr = abs(self.data["dmu2"][right] - dmu2) ** m
+            wl = dr / (dr + dl)
+            wr = dl / (dr + dl)
+            h_m = h_l.mix(h_r, [wl, wr])
+
+        return h_m
+
+    def dump(self, fname):
+        """JSON persist of the surface (gc_binary.pyx:478-497)."""
+        info = {
+            "mu_1": self.data["X"].tolist(),
+            "dmu_2": self.data["Y"].tolist(),
+            "x_1": self.data["Z"].tolist(),
+            "density": self.data["density"].tolist(),
+            "F.E./kT": self.data["F.E./kT"].tolist(),
+        }
+        with open(fname, "w") as f:
+            json.dump(info, f, sort_keys=True, indent=4)
+
+    def load(self, fname):
+        """Load surface from JSON (gc_binary.pyx:499-523)."""
+        with open(fname, "r") as f:
+            info = json.load(f)
+        self.data["X"] = np.array(info["mu_1"], dtype=np.float64)
+        self.data["Y"] = np.array(info["dmu_2"], dtype=np.float64)
+        self.data["Z"] = np.array(info["x_1"], dtype=np.float64)
+        self.data["density"] = np.array(info["density"], dtype=np.float64)
+        self.data["F.E./kT"] = np.array(info["F.E./kT"], dtype=np.float64)
+        for k in ("Y", "Z", "density", "F.E./kT"):
+            assert self.data["X"].shape == self.data[k].shape, "Shape mismatch in " + fname
+
+    def zoom(self, factor, order=3, inplace=False):
+        """Cubic-spline resampling of the surface (gc_binary.pyx:525-564)."""
+        zx = scipy.ndimage.zoom(self.data["X"], factor, order=order)
+        zy = scipy.ndimage.zoom(self.data["Y"], factor, order=order)
+        zz = scipy.ndimage.zoom(self.data["Z"], factor, order=order)
+        rho = scipy.ndimage.zoom(self.data["density"], factor, order=order)
+        fe = scipy.ndimage.zoom(self.data["F.E./kT"], factor, order=order)
+        if inplace:
+            self.data["X"], self.data["Y"], self.data["Z"] = zx, zy, zz
+            self.data["density"], self.data["F.E./kT"] = rho, fe
+        return zz, (zx, zy), rho, fe
+
+
+# ----------------------------------------------------------------------
+# grid post-processing (host)
+# ----------------------------------------------------------------------
+
+
+def _marching_squares(grid_x, grid_y, grid_z, level):
+    """Trace iso-contours of z(level) on a rectilinear grid.
+
+    Native replacement for the reference's matplotlib-contour extraction
+    (gc_binary.pyx:659-663): classic marching squares with linear edge
+    interpolation, segments chained into polylines.  Returns a list of
+    paths (each an [K,2] array of (x, y)), longest first.
+    """
+    z = np.asarray(grid_z)
+    x = np.asarray(grid_x)
+    y = np.asarray(grid_y)
+    nr, nc = z.shape
+    segs = []
+
+    def interp(p1, p2, v1, v2):
+        t = (level - v1) / (v2 - v1)
+        return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+
+    for i in range(nr - 1):
+        for j in range(nc - 1):
+            corners = [
+                ((x[i, j], y[i, j]), z[i, j]),
+                ((x[i, j + 1], y[i, j + 1]), z[i, j + 1]),
+                ((x[i + 1, j + 1], y[i + 1, j + 1]), z[i + 1, j + 1]),
+                ((x[i + 1, j], y[i + 1, j]), z[i + 1, j]),
+            ]
+            if any(not np.isfinite(c[1]) for c in corners):
+                continue
+            idx = 0
+            for b, (_, v) in enumerate(corners):
+                if v > level:
+                    idx |= 1 << b
+            if idx in (0, 15):
+                continue
+            # edges: 0:(0,1) 1:(1,2) 2:(2,3) 3:(3,0)
+            pts = {}
+            edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+            for e, (a, b) in enumerate(edges):
+                va, vb = corners[a][1], corners[b][1]
+                if (va > level) != (vb > level):
+                    pts[e] = interp(corners[a][0], corners[b][0], va, vb)
+            CASES = {
+                1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+                5: [(3, 2), (1, 0)], 6: [(0, 2)], 7: [(3, 2)],
+                8: [(2, 3)], 9: [(2, 0)], 10: [(2, 1), (0, 3)],
+                11: [(2, 1)], 12: [(1, 3)], 13: [(1, 0)], 14: [(0, 3)],
+            }
+            for a, b in CASES[idx]:
+                if a in pts and b in pts:
+                    segs.append((pts[a], pts[b]))
+
+    # chain segments into polylines
+    def key(p):
+        return (round(p[0], 9), round(p[1], 9))
+
+    adj = {}
+    for s in segs:
+        adj.setdefault(key(s[0]), []).append(s)
+        adj.setdefault(key(s[1]), []).append(s)
+
+    unused = set(range(len(segs)))
+    seg_by_id = dict(enumerate(segs))
+    paths = []
+    id_at = {}
+    for sid, s in seg_by_id.items():
+        id_at.setdefault(key(s[0]), []).append(sid)
+        id_at.setdefault(key(s[1]), []).append(sid)
+
+    while unused:
+        sid = next(iter(unused))
+        unused.discard(sid)
+        s = seg_by_id[sid]
+        path = [s[0], s[1]]
+        # extend forward and backward
+        for end in (True, False):
+            while True:
+                tip = path[-1] if end else path[0]
+                cands = [t for t in id_at.get(key(tip), []) if t in unused]
+                if not cands:
+                    break
+                t = cands[0]
+                unused.discard(t)
+                a, b = seg_by_id[t]
+                nxt = b if key(a) == key(tip) else a
+                if end:
+                    path.append(nxt)
+                else:
+                    path.insert(0, nxt)
+        paths.append(np.array(path))
+
+    paths.sort(key=lambda p: -len(p))
+    return paths
+
+
+def get_iso(t, grid_t, grid_mu1, grid_dmu2):
+    """Trace the iso-contour of a gridded quantity (gc_binary.pyx:637-664).
+
+    Returns a list of (mu_1, dmu_2) tuples along the longest contour.
+    """
+    paths = _marching_squares(grid_mu1, grid_dmu2, grid_t, t)
+    if not paths:
+        raise Exception("No contour found at level %s" % t)
+    return [tuple(p) for p in paths[0]]
+
+
+def check_gibbs_duhem(isobars, grid_x1, grid_p, grid_mu1, grid_dmu2, k=3, s=0.0):
+    """Gibbs-Duhem consistency along isobars (gc_binary.pyx:566-635).
+
+    err = x1 * dmu1/dx1 + (1 - x1) * dmu2/dx1 along each isobar; returns
+    list of (p, errors, x1s, mu_points, q1s) per isobar ((p, None) when
+    the isobar cannot be traced).
+    """
+    try:
+        interp = scipy.interpolate.RegularGridInterpolator(
+            (grid_dmu2[:, 0], grid_mu1[0, :]), grid_x1, method="linear", bounds_error=False, fill_value=np.nan
+        )
+    except (Exception, TypeError, ValueError) as e:
+        raise Exception("Unable to create grid interpolator to check Gibbs-Duhem consistency : %s" % e)
+
+    error = []
+    for p in isobars:
+        try:
+            mu_vals_isobar = get_iso(p, grid_p, grid_mu1, grid_dmu2)
+        except (Exception, TypeError, ValueError) as e:
+            print("Unable to check Gibbs-Duhem consistency along P = %s isobar : %s" % (p, e))
+            error.append((p, None))
+            continue
+
+        pts = np.array([(a[1], a[0]) for a in mu_vals_isobar])
+        x1_vals = interp(pts)
+
+        finite = np.isfinite(x1_vals)
+        order = np.argsort(x1_vals[finite])
+        xs = x1_vals[finite][order]
+        mu1s = np.array([a[0] for a in mu_vals_isobar])[finite][order]
+        mu2s = np.array([a[1] + a[0] for a in mu_vals_isobar])[finite][order]
+        # splrep needs strictly increasing x
+        keep = np.concatenate([[True], np.diff(xs) > 1e-12])
+        mu1_x1 = scipy.interpolate.splrep(xs[keep], mu1s[keep], s=s, k=k)
+        mu2_x1 = scipy.interpolate.splrep(xs[keep], mu2s[keep], s=s, k=k)
+
+        error_p, x1_t, mu_t, q1_t = [], [], [], []
+        for i in range(len(mu_vals_isobar)):
+            x1v = x1_vals[i]
+            if not np.isnan(x1v):
+                q1 = x1v * scipy.interpolate.splev(x1v, mu1_x1, der=1)
+                err = q1 + (1.0 - x1v) * scipy.interpolate.splev(x1v, mu2_x1, der=1)
+                q1_t.append(q1)
+                error_p.append(err)
+                x1_t.append(x1v)
+                mu_t.append(mu_vals_isobar[i])
+        error.append((p, error_p, x1_t, mu_t, q1_t))
+
+    return error
+
+
+def parameterize_mesh(mu1_mesh, dmu2_mesh, x_mesh, y_mesh, x_pts):
+    """Express one mesh vs another along a path (gc_binary.pyx:666-703)."""
+    if mu1_mesh.shape != dmu2_mesh.shape:
+        raise Exception("Unequal grid sizes")
+    if x_mesh.shape != dmu2_mesh.shape:
+        raise Exception("Unequal grid sizes")
+    if x_mesh.shape != y_mesh.shape:
+        raise Exception("Unequal grid sizes")
+
+    pts = np.array([(a[1], a[0]) for a in x_pts])
+    x = mu1_mesh[0, :]
+    y = dmu2_mesh[:, 0]
+    interp = scipy.interpolate.RegularGridInterpolator((y, x), x_mesh, method="linear")
+    x_vals = interp(pts)
+    interp = scipy.interpolate.RegularGridInterpolator((y, x), y_mesh, method="linear")
+    y_vals = interp(pts)
+    return list(zip(x_vals, y_vals))
+
+
+def combine_isopleth_grids(mu1_arrays, dmu2_arrays, x1_arrays, rho_arrays=None, fe_arrays=None):
+    """Concatenate isopleth grids along mu_1 with dmu_2 alignment checks
+    and overlap trimming (gc_binary.pyx:705-819)."""
+    if not isinstance(mu1_arrays, (list, np.ndarray, tuple)):
+        raise Exception("Expects an array of mu1_arrays to combine isopleths")
+    if not isinstance(dmu2_arrays, (list, np.ndarray, tuple)):
+        raise Exception("Expects an array of dmu2_arrays to combine isopleths")
+    if not isinstance(x1_arrays, (list, np.ndarray, tuple)):
+        raise Exception("Expects an array of x1_arrays to combine isopleths")
+    if not (len(mu1_arrays) == len(dmu2_arrays) and len(dmu2_arrays) == len(x1_arrays)):
+        raise Exception("Must specify one mu_1, dmu_2, and x_1 for each isopleth")
+
+    if rho_arrays is not None:
+        if not isinstance(rho_arrays, (list, np.ndarray, tuple)):
+            raise Exception("Expects an array of rho_arrays to combine isopleths")
+        if len(mu1_arrays) != len(rho_arrays):
+            raise Exception("Must specify one density for each isopleth")
+    if fe_arrays is not None:
+        if not isinstance(fe_arrays, (list, np.ndarray, tuple)):
+            raise Exception("Expects an array of fe_arrays to combine isopleths")
+        if len(mu1_arrays) != len(fe_arrays):
+            raise Exception("Must specify one free energy for each isopleth")
+
+    for i in range(len(mu1_arrays)):
+        if not (mu1_arrays[i].shape == dmu2_arrays[i].shape and dmu2_arrays[i].shape == x1_arrays[i].shape):
+            raise Exception("Each set of isopleth grids must have the same size")
+        if rho_arrays is not None and mu1_arrays[i].shape != rho_arrays[i].shape:
+            raise Exception("Each set of isopleth grids must have the same size")
+        if fe_arrays is not None and mu1_arrays[i].shape != fe_arrays[i].shape:
+            raise Exception("Each set of isopleth grids must have the same size")
+
+    for i in range(len(mu1_arrays) - 1):
+        for arrs in (mu1_arrays, dmu2_arrays, x1_arrays):
+            if arrs[i].shape[0] != arrs[i + 1].shape[0]:
+                raise Exception("dmu2 dimension not aligned")
+        if rho_arrays is not None and rho_arrays[i].shape[0] != rho_arrays[i + 1].shape[0]:
+            raise Exception("dmu2 dimension not aligned")
+        if fe_arrays is not None and fe_arrays[i].shape[0] != fe_arrays[i + 1].shape[0]:
+            raise Exception("dmu2 dimension not aligned")
+
+    min_mu1 = [np.min(m1a) for m1a in mu1_arrays]
+    if fe_arrays is None and rho_arrays is None:
+        zz = dict(enumerate(zip(min_mu1, mu1_arrays, dmu2_arrays, x1_arrays)))
+    elif fe_arrays is None:
+        zz = dict(enumerate(zip(min_mu1, mu1_arrays, dmu2_arrays, x1_arrays, rho_arrays)))
+    elif rho_arrays is None:
+        zz = dict(enumerate(zip(min_mu1, mu1_arrays, dmu2_arrays, x1_arrays, fe_arrays)))
+    else:
+        zz = dict(enumerate(zip(min_mu1, mu1_arrays, dmu2_arrays, x1_arrays, rho_arrays, fe_arrays)))
+    sorted_zz = sorted(zz.items(), key=lambda x: x[1][0])
+
+    X = copy.copy(sorted_zz[0][1][1])
+    Y = copy.copy(sorted_zz[0][1][2])
+    Z = copy.copy(sorted_zz[0][1][3])
+    A = B = None
+    if len(sorted_zz[0][1]) == 5:
+        A = copy.copy(sorted_zz[0][1][4])
+    elif len(sorted_zz[0][1]) == 6:
+        A = copy.copy(sorted_zz[0][1][4])
+        B = copy.copy(sorted_zz[0][1][5])
+
+    dmu2_ref = sorted_zz[0][1][2][:, 1]
+    for i in range(1, len(sorted_zz)):
+        this_entry = sorted_zz[i]
+        last_entry = sorted_zz[i - 1]
+
+        if not np.all(np.abs(this_entry[1][2][:, 0] - dmu2_ref) < 1.0e-9):
+            raise Exception("dmu2 dimension not aligned")
+
+        mu1_right = this_entry[1][1][0, :]
+        max_mu1_left = np.max(last_entry[1][1][0, :])
+        ncols = bisect.bisect_left(list(mu1_right), max_mu1_left)
+        if mu1_right[ncols] == max_mu1_left:
+            ncols += 1
+
+        X = np.concatenate((X, this_entry[1][1][:, ncols:]), axis=1)
+        Y = np.concatenate((Y, this_entry[1][2][:, ncols:]), axis=1)
+        Z = np.concatenate((Z, this_entry[1][3][:, ncols:]), axis=1)
+        if len(sorted_zz[0][1]) == 5:
+            A = np.concatenate((A, this_entry[1][4][:, ncols:]), axis=1)
+        elif len(sorted_zz[0][1]) == 6:
+            A = np.concatenate((A, this_entry[1][4][:, ncols:]), axis=1)
+            B = np.concatenate((B, this_entry[1][5][:, ncols:]), axis=1)
+
+    if A is None and B is None:
+        return Z, (X, Y)
+    elif A is not None and B is None:
+        return Z, (X, Y), A
+    return Z, (X, Y), A, B
