@@ -179,19 +179,24 @@ def find_windows(idir):
     return windows, nebr_set
 
 
-def test_nebr_equil(seq, per_err, fname="maxEq", trust=False):
+def test_nebr_equil(seq, per_err, fname="maxEq", trust=False, match_fn=None, win_idx=-2):
     """Walk neighbor pairs until the first unconverged one; write report.
 
     Parity: fhmc_equil.pyx:339-434 (window-index continuity checks,
-    `trust` includes the last window, maxEq report format).
+    `trust` includes the last window, maxEq report format).  match_fn and
+    win_idx parameterize the walk for the chkpt/feasst front-ends (their
+    window number sits at a different path depth and their records need
+    normalization, chkpt_equil.pyx:177, feasst_equil.pyx:144).
     """
+    if match_fn is None:
+        match_fn = test_nebr_match
     ordered_seq = []
     l_w = u_w = None
     for i in range(len(seq) - 1):
         if i == 0:
             for j in range(len(seq[i])):
                 x = seq[i][j].split("/")
-                w = int(x[-2])
+                w = int(x[win_idx])
                 if j == 0:
                     l_w = w
                 else:
@@ -201,7 +206,7 @@ def test_nebr_equil(seq, per_err, fname="maxEq", trust=False):
 
         for j in range(len(seq[i + 1])):
             x = seq[i + 1][j].split("/")
-            w = int(x[-2])
+            w = int(x[win_idx])
             if j == 0:
                 u_w = w
             else:
@@ -224,7 +229,7 @@ def test_nebr_equil(seq, per_err, fname="maxEq", trust=False):
     found = False
     w1 = w2 = None
     for l_seq, u_seq in ordered_seq:
-        ipass, max_u_err, max_n_err = test_nebr_match(l_seq, u_seq, per_err)
+        ipass, max_u_err, max_n_err = match_fn(l_seq, u_seq, per_err)
         if ipass:
             found = True
             if trust:
@@ -234,8 +239,8 @@ def test_nebr_equil(seq, per_err, fname="maxEq", trust=False):
             else:
                 safe_seq.append(l_seq)
             if print_file:
-                w1 = int(l_seq[0].split("/")[-2])
-                w2 = int(u_seq[0].split("/")[-2])
+                w1 = int(l_seq[0].split("/")[win_idx])
+                w2 = int(u_seq[0].split("/")[win_idx])
                 output.write(
                     "\n#\t(%d,%d)\t%s\t%s\t%s" % (w1, w2, max(max_u_err, max_n_err), max_u_err, max_n_err)
                 )

@@ -61,8 +61,11 @@ class local_hist(object):
     """Per-N sub-histogram (energy or particle number) from a .dat file.
 
     Parity: fhmc_patch.pyx:121-321 (header-driven section parser, aligned
-    per-bin weighted merge).
+    per-bin weighted merge).  `_HIST_SECTION` selects the data-section
+    header; the chkpt front-end overrides it for unnormalized dumps.
     """
+
+    _HIST_SECTION = "Normalized histogram for each"
 
     def __init__(self, fname):
         try:
@@ -102,7 +105,7 @@ class local_hist(object):
                         sect = "lb"
                     elif "Bin upper bound for each" in line:
                         sect = "ub"
-                    elif "Normalized histogram for each" in line:
+                    elif self._HIST_SECTION in line:
                         sect = "h"
                     else:
                         sect = None
