@@ -58,7 +58,9 @@ def phase_eq_error(
     pair_ok = (width_ok[:, None] & width_ok[None, :])[iu]
     errs = jnp.where(pair_ok, diff2[iu], DEFAULT_ERR2)
     err2 = jnp.min(errs)
-    return jnp.where(pt.n_phases <= 1, DEFAULT_ERR2, err2)
+    # invalid segmentation (the reference raises there, gc_hist.pyx:403-415)
+    # reads as "no usable coexistence information" for the masked solver
+    return jnp.where((pt.n_phases <= 1) | ~pt.valid, DEFAULT_ERR2, err2)
 
 
 def nelder_mead_1d(f, x0, xtol: float = 1e-4, ftol: float = 1e-4, maxiter: int = 100000):
@@ -160,7 +162,10 @@ def find_phase_eq_state(
             mu, h, meta, beta=beta, dmu=dmu, order=order, min_width=min_width, extrapolate=extrapolate
         )
 
-    mu_star, err, _, converged = nelder_mead_1d(obj, mu_guess, xtol=1e-4, ftol=lnZ_tol)
+    # The objective is (dFE)^2, so meeting |dFE| <= lnZ_tol (the BASELINE
+    # coexistence bar, stronger than scipy-fmin's ftol-on-err^2 semantics)
+    # needs the squared tolerance.
+    mu_star, err, _, converged = nelder_mead_1d(obj, mu_guess, xtol=1e-10, ftol=lnZ_tol**2)
 
     out = reweight(h, mu_star)
     if extrapolate:
