@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..native import loadtxt_unpacked
+
 from .fhmc_equil import _read_bounds_from_lnpi, _read_mom_meta, test_nebr_equil as _walk
 
 __all__ = ["test_nebr_match_", "test_nebr_equil"]
@@ -30,7 +32,7 @@ def test_nebr_match_(seq1, seq2, per_err=1.0):
 
     max_order, nspec, uvals, infos = [0, 0], [0, 0], [], []
     for i in range(2):
-        info = np.loadtxt(combo_seq[i][1], unpack=True)
+        info = loadtxt_unpacked(combo_seq[i][1])
         infos.append(info)
         nspec[i], max_order[i] = _read_mom_meta(combo_seq[i][1])
         assert max_order[i] >= 1, "Must record atleast 1st moment to get average property"

@@ -15,6 +15,7 @@ import os
 
 import numpy as np
 
+from ..native import loadtxt_unpacked
 from . import fhmc_patch as _f
 
 __all__ = ["local_hist", "window", "patch_all_windows", "get_patch_sequence", "tryint"]
@@ -64,8 +65,8 @@ class window(_f.window):
                 else:
                     break
 
-        self.lnPI = np.loadtxt(self.lnPI_fname, dtype=np.float64, comments="#", unpack=True)
-        mom = np.loadtxt(self.mom_fname, dtype=np.float64, comments="#", unpack=True)
+        self.lnPI = loadtxt_unpacked(self.lnPI_fname)
+        mom = loadtxt_unpacked(self.mom_fname)
         # trim OP column and normalize every record by the visit counter
         # (row 1 of the raw matrix, chkpt_patch.pyx:442)
         self.mom = mom[1:] / mom[1]

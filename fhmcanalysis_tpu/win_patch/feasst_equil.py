@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..native import loadtxt_unpacked, read_table
+
 from .fhmc_equil import test_nebr_equil as _walk
 
 __all__ = ["test_nebr_match_", "test_nebr_equil"]
@@ -41,11 +43,11 @@ def test_nebr_match_(seq1, seq2, per_err=1.0):
 
     ub, lb, mom, mom_exp = [0, 0], [0, 0], [], []
     for i in range(2):
-        data = np.loadtxt(combo_seq[i][0], unpack=True)
+        data = loadtxt_unpacked(combo_seq[i][0])
         lb[i] = int(data[0][0])
         ub[i] = int(data[0][-1])
 
-        dummy_mom = np.loadtxt(combo_seq[i][1], dtype=np.float64, comments="#", unpack=False)
+        dummy_mom = read_table(combo_seq[i][1])
         mom.append(np.zeros(len(dummy_mom)))
         mom_exp.append(np.zeros((len(dummy_mom), 5)))
         for ctr, row in enumerate(dummy_mom):

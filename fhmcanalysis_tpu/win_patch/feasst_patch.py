@@ -16,6 +16,7 @@ import time
 import numpy as np
 
 from ..io import write_composite
+from ..native import loadtxt_unpacked, read_table
 from . import fhmc_patch as _f
 
 __all__ = [
@@ -100,12 +101,12 @@ class window(object):
             "Upper and lower bounds do not match number of bins in : %s" % self.extMom_fname
         )
 
-        self.lnPI = np.loadtxt(self.colMat_fname, dtype=np.float64, comments="#", unpack=True)[1]
+        self.lnPI = loadtxt_unpacked(self.colMat_fname)[1]
         num_moments = self.nspec * (self.max_order + 1) * self.nspec * (self.max_order + 1) * (self.max_order + 1)
         self.mom = np.zeros((num_moments, nbins))
         self.mom_exp = np.zeros((num_moments, 5), dtype=np.int32)
 
-        dummy_mom = np.loadtxt(self.extMom_fname, dtype=np.float64, comments="#", unpack=False)
+        dummy_mom = read_table(self.extMom_fname)
         for ctr, row in enumerate(dummy_mom):
             opIdx, nValues, Sum, SumSq, i, j, k, m, p = row
             momIdx = ctr % num_moments

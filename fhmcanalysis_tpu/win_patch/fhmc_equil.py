@@ -12,6 +12,8 @@ import re
 
 import numpy as np
 
+from ..native import loadtxt_unpacked
+
 from . import fhmc_patch as oP
 
 __all__ = ["test_nebr_match", "test_window_match", "find_windows", "test_nebr_equil"]
@@ -59,7 +61,7 @@ def test_nebr_match(seq1, seq2, per_err=1.0):
     max_order, nspec, uvals = [0, 0], [0, 0], []
     infos = []
     for i in range(2):
-        info = np.loadtxt(combo_seq[i][1], unpack=True)
+        info = loadtxt_unpacked(combo_seq[i][1])
         infos.append(info)
         nspec[i], max_order[i] = _read_mom_meta(combo_seq[i][1])
         assert max_order[i] >= 1, "Must record atleast 1st moment to get average property"

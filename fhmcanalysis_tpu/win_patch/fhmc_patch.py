@@ -18,6 +18,7 @@ import time
 import numpy as np
 
 from ..io import write_composite
+from ..native import loadtxt_unpacked
 
 __all__ = [
     "tryint",
@@ -291,8 +292,8 @@ class window(object):
                 else:
                     break
 
-        self.lnPI = np.loadtxt(self.lnPI_fname, dtype=np.float64, comments="#", unpack=True)
-        self.mom = np.loadtxt(self.mom_fname, dtype=np.float64, comments="#", unpack=True)
+        self.lnPI = loadtxt_unpacked(self.lnPI_fname)
+        self.mom = loadtxt_unpacked(self.mom_fname)
         self.mom = self.mom[1:]  # trim order-parameter column
         assert self.mom.shape[1] == len(self.lnPI), "Inconsistent number of entries in files"
         self.e_hist = local_hist(self.ehist_fname)
