@@ -1,0 +1,110 @@
+"""Coverage the reference never had: collect hook, segmentation edge
+branches, coexisting(), complete-mode paths."""
+
+import numpy as np
+import pytest
+
+import fhmcanalysis_tpu.histogram.ntot as oneDH
+from fhmcanalysis_tpu.histogram.collect import check_order_, janus_collect
+
+
+@pytest.fixture
+def hist(test_nc):
+    return oneDH.histogram(test_nc, 1.0, [5.0, 0.0], 1)
+
+
+class TestCollect:
+    def test_janus_merges_micellar_peaks(self, hist):
+        # three peaks: two small (micellar gas) + one big (liquid)
+        lnpi = np.array(
+            [0, 3, 0, -1, 0, 3, 0, -2, -1, 0, 8, 9, 10, 9, 8, 0, -5, -10, -15, -20, -25],
+            dtype=float,
+        )
+        hist.data["ln(PI)"] = lnpi
+        hist.data["mom"] = np.ones((2, 3, 2, 3, 3, len(lnpi)))
+        hist.data["mom"][0, 1, 0, 0, :] = np.arange(len(lnpi))
+        hist.data["mom"][1, 1, 0, 0, :] = np.arange(len(lnpi))
+
+        hist.thermo(collect=janus_collect)
+        # all but the last peak merged -> exactly 2 phases
+        assert len(hist.data["thermo"]) == 2
+        # phase 1 is the liquid peak around bin 12
+        b0 = hist.data["thermo"][0]["bound_idx"]
+        b1 = hist.data["thermo"][1]["bound_idx"]
+        assert b0[0] == 0 and b1[1] >= 13
+
+    def test_two_peaks_left_untouched(self, hist):
+        lnpi = np.array([0, 5, 0, -3, 0, 7, 0, -8, -16], dtype=float)
+        hist.data["ln(PI)"] = lnpi
+        hist.normalize()
+        hist.relextrema()
+        before_max = hist.data["ln(PI)_maxima_idx"].copy()
+        janus_collect(hist)
+        assert np.all(hist.data["ln(PI)_maxima_idx"] == before_max)
+
+    def test_check_order_raises_on_garbage(self, hist):
+        hist.data["ln(PI)_maxima_idx"] = np.array([5, 2])
+        hist.data["ln(PI)_minima_idx"] = np.array([0, 8])
+        with pytest.raises(Exception):
+            check_order_(hist)
+
+
+class TestSegmentationBranches:
+    def test_straight_line_decreasing(self, hist):
+        """Branch D (gc_hist.pyx:382-386): monotonic surface."""
+        hist.data["ln(PI)"] = np.linspace(5.0, -20.0, 12)
+        hist.relextrema()
+        assert np.all(hist.data["ln(PI)_maxima_idx"] == [0])
+        assert np.all(hist.data["ln(PI)_minima_idx"] == [11])
+        hist.data["mom"] = np.ones((2, 3, 2, 3, 3, 12))
+        hist.thermo()
+        assert len(hist.data["thermo"]) == 1
+        assert hist.is_safe(10.0)
+
+    def test_straight_line_increasing_unsafe(self, hist):
+        hist.data["ln(PI)"] = np.linspace(-20.0, 5.0, 12)
+        hist.relextrema()
+        assert np.all(hist.data["ln(PI)_maxima_idx"] == [11])
+        assert not hist.is_safe(1.0)
+
+    def test_min_only_branch(self, hist):
+        """Branch C (gc_hist.pyx:367-381): interior minimum only."""
+        hist.data["ln(PI)"] = np.array([5, 3, 1, 0, 1, 3, 5], dtype=float)
+        hist.relextrema()
+        assert np.all(hist.data["ln(PI)_minima_idx"] == [3])
+        assert np.all(hist.data["ln(PI)_maxima_idx"] == [0, 6])
+
+    def test_too_short_raises(self, hist):
+        hist.data["ln(PI)"] = np.array([1.0, 2.0])
+        with pytest.raises(Exception):
+            hist.relextrema()
+
+
+class TestCoexisting:
+    def test_requires_thermo(self, hist):
+        with pytest.raises(Exception):
+            hist.coexisting()
+
+    def test_single_phase_empty(self, hist):
+        hist.thermo()  # fixture data is single phase
+        assert hist.coexisting() == [[]]
+
+    def test_detects_equal_fe(self, hist):
+        hist.data["ln(PI)"] = np.array(
+            [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0],
+            dtype=float,
+        )
+        eq = hist.find_phase_eq(1e-6, 5.0)
+        pairs = eq.coexisting(rtol=1e-3)
+        assert pairs == [[0, 1]]
+
+
+class TestMixGuards:
+    def test_incompatible_conditions(self, hist, test_nc):
+        other = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], 1)
+        other.data["curr_beta"] = 2.0
+        with pytest.raises(Exception):
+            hist.mix(other, [1.0, 1.0])
+        other = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], 1)
+        with pytest.raises(Exception):
+            hist.mix(other, [1.0])  # needs 2 weights
