@@ -249,18 +249,39 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
         Returns (grid_x1, (grid_mu1, grid_dmu2)); failed cells are 0.
+        mu1_chunk caps the mu_1 block processed per launch (default: sized
+        so the stage-1 Hessian buffers stay within ~1 GB).
         """
-        mu1_v, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
+        mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
+        self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
+
+        if mu1_chunk is None:
+            src0 = self.data["histograms"][0]
+            meta0 = src0._meta()
+            n0 = len(src0.data["ln(PI)"])
+            bytes_per_mu1 = meta0.nspec**2 * (meta0.n_addr + 1) * n0 * 8  # Hm + H rows
+            mu1_chunk = max(8, int(1e9 // max(bytes_per_mu1, 1)))
+
+        cols = []
+        for start in range(0, len(mu1_v_full), mu1_chunk):
+            cols.append(self._grid_block(mu1_v_full[start : start + mu1_chunk], dmu2_v, m))
+
+        for key in ("Z", "density", "F.E./kT", "valid"):
+            self.data[key] = np.concatenate([c[key] for c in cols], axis=1)
+        return self.data["Z"], (self.data["X"], self.data["Y"])
+
+    def _grid_block(self, mu1_v, dmu2_v, m):
+        """One mu_1 block of the surface: stage-1 derivatives + stage-2
+        cell evaluation."""
         lr, wts = self._bracket(dmu2_v, m)
 
-        self.data["X"], self.data["Y"] = np.meshgrid(mu1_v, dmu2_v)
-
         # stage 1: derivatives per (source, mu1)
+        mu1_v = np.asarray(mu1_v)
         needed = sorted(set(lr.ravel().tolist()))
         W = len(self.data["histograms"])
         src0 = self.data["histograms"][0]
@@ -310,11 +331,12 @@ class isopleth(object):
         )
 
         # meshgrid "xy" convention: rows are dmu2, columns mu1
-        self.data["Z"] = np.asarray(z).T
-        self.data["density"] = np.asarray(rho).T
-        self.data["F.E./kT"] = np.asarray(fe).T
-        self.data["valid"] = np.asarray(ok).T
-        return self.data["Z"], (self.data["X"], self.data["Y"])
+        return {
+            "Z": np.asarray(z).T,
+            "density": np.asarray(rho).T,
+            "F.E./kT": np.asarray(fe).T,
+            "valid": np.asarray(ok).T,
+        }
 
     # the chunked variant of the reference is subsumed by the batched path
     make_grid_multi = make_grid
