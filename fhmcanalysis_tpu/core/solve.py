@@ -24,7 +24,7 @@ from .ops import reweight
 from .segment import thermo
 from .state import Hist, HistMeta
 
-__all__ = ["phase_eq_error", "nelder_mead_1d", "find_phase_eq_state"]
+__all__ = ["phase_eq_error", "nelder_mead_1d", "find_phase_eq_state", "trace_coexistence"]
 
 DEFAULT_ERR2 = 100.0  # reference default when <2 phases qualify (gc_hist.pyx:2614)
 
@@ -171,3 +171,49 @@ def find_phase_eq_state(
     if extrapolate:
         out = temp_dmu_extrap(out, meta, beta, dmu, order=order, skip_mom=not full_mom)
     return out, mu_star, err, converged
+
+
+@partial(jax.jit, static_argnames=("meta", "order", "min_width"))
+def trace_coexistence(
+    h: Hist,
+    meta: HistMeta,
+    betas,
+    mu_guess,
+    lnZ_tol: float = 1.0e-5,
+    dmu=None,
+    order: int = 1,
+    min_width: int = 0,
+):
+    """Vapor-liquid coexistence curve over a whole temperature array in
+    one vmapped launch — the phase-diagram workflow of the reference
+    notebooks (one serial scipy solve per beta) as a single device call.
+
+    Returns dict with per-beta mu_star, per-phase padded free energies,
+    densities, x_i, masks and convergence flags.
+    """
+    if dmu is None:
+        dmu = h.curr_mu[1:] - h.curr_mu[0]
+    betas = jnp.atleast_1d(jnp.asarray(betas, dtype=h.lnpi.dtype))
+
+    def solve_at(beta):
+        out, mu_star, err, conv = find_phase_eq_state(
+            h, meta, lnZ_tol, mu_guess, beta=beta, dmu=dmu, order=order,
+            min_width=min_width, extrapolate=True, full_mom=True,
+        )
+        out, pt = thermo(out, meta, props=True)
+        from .segment import phase_props
+
+        props = phase_props(pt, out.volume)
+        return {
+            "mu_star": mu_star,
+            "fe": pt.fe,
+            "mask": pt.mask,
+            "density": props["density"],
+            "x_i": props["x_i"],
+            "ntot": props["ntot"],
+            "u": props["u"],
+            "err": err,
+            "converged": conv,
+        }
+
+    return jax.vmap(solve_at)(betas)

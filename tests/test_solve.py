@@ -85,3 +85,21 @@ def test_nelder_mead_1d_quadratic():
     x, fx, it, conv = SV.nelder_mead_1d(f, 0.0, xtol=1e-8, ftol=1e-12)
     assert bool(conv)
     assert abs(float(x) - 2.5) < 1e-6
+
+
+def test_trace_coexistence(state):
+    """Phase-diagram-in-one-call API over a beta array."""
+    hh, meta, _ = state
+    out = SV.trace_coexistence(hh, meta, jnp.array([0.99, 1.0, 1.01]), 5.0, lnZ_tol=1e-6, min_width=2)
+    assert np.all(np.asarray(out["converged"]))
+    masks = np.asarray(out["mask"])
+    fes = np.asarray(out["fe"])
+    rhos = np.asarray(out["density"])
+    for i in range(3):
+        fe = fes[i][masks[i]]
+        assert len(fe) == 2 and abs(fe[0] - fe[1]) < 1e-4
+        rho = rhos[i][masks[i]]
+        assert rho[0] != rho[1]  # distinct vapor/liquid densities
+    # mu_star moves monotonically with beta on this surface
+    mus = np.asarray(out["mu_star"])
+    assert (np.all(np.diff(mus) < 0)) or (np.all(np.diff(mus) > 0))
