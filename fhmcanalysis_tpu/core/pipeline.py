@@ -22,7 +22,7 @@ from .ops import reweight
 from .segment import phase_props, thermo, thermo_core
 from .state import Hist, HistMeta
 
-__all__ = ["mu_sweep_thermo", "mu_beta_sweep_thermo", "most_stable_phase"]
+__all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_sweep_body", "most_stable_phase"]
 
 
 def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
@@ -52,6 +52,11 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
     return out
 
 
+def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True):
+    """Unjitted body of mu_sweep_thermo; exposed for shard_map drivers."""
+    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props))(jnp.asarray(mu_grid))
+
+
 @partial(jax.jit, static_argnames=("meta", "props"))
 def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True):
     """Reweight + thermo over a 1-D grid of mu_1 values in one launch.
@@ -59,7 +64,7 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True):
     Returns dict of arrays with leading axis len(mu_grid): per-phase padded
     free energies, bounds, masks and (optionally) phase properties.
     """
-    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props))(jnp.asarray(mu_grid))
+    return mu_sweep_body(h, meta, mu_grid, props)
 
 
 def mu_beta_sweep_body(

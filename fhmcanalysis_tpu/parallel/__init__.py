@@ -1,3 +1,3 @@
-from .mesh import grid_mesh, replicate, shard_axis, sharded_mu_beta_sweep
+from .mesh import grid_mesh, replicate, shard_axis, shard_map_mu_sweep, sharded_mu_beta_sweep
 
-__all__ = ["grid_mesh", "replicate", "shard_axis", "sharded_mu_beta_sweep"]
+__all__ = ["grid_mesh", "replicate", "shard_axis", "shard_map_mu_sweep", "sharded_mu_beta_sweep"]

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as Psp
 from ..core import pipeline as _pipeline
 from ..core.state import Hist, HistMeta
 
-__all__ = ["grid_mesh", "sharded_mu_beta_sweep", "replicate", "shard_axis"]
+__all__ = ["grid_mesh", "sharded_mu_beta_sweep", "shard_map_mu_sweep", "replicate", "shard_axis"]
 
 
 def grid_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -89,3 +89,44 @@ def sharded_mu_beta_sweep(
         return out, jnp.min(fe_valid)
 
     return step(h, mu_grid, beta_grid, dmu_grid, meta, order, props)
+
+
+def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool = True):
+    """mu_1 sweep under shard_map with an explicit psum_min collective.
+
+    The auto-sharded path (`sharded_mu_beta_sweep`) lets GSPMD place
+    collectives; this variant writes the SPMD program explicitly — each
+    device sweeps its mu_1 shard, then the global minimum free energy is
+    reduced over the "mu" axis with lax.pmin (rides ICI within a slice).
+    mu_grid length must be divisible by the total device count; both mesh
+    axes are consumed (grid flattened over all devices).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    mu_grid = jnp.asarray(mu_grid)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if mu_grid.shape[0] % n_dev:
+        raise ValueError("mu grid length %d not divisible by %d devices" % (mu_grid.shape[0], n_dev))
+
+    spec_in = Psp(mesh.axis_names)  # flatten over both axes
+    h = replicate(mesh, h)
+
+    def local(h, mus):
+        out = _pipeline.mu_sweep_body(h, meta, mus, props=props)
+        fe_valid = jnp.where(out["mask"], out["fe"], jnp.inf)
+        local_min = jnp.min(fe_valid)
+        global_min = jax.lax.pmin(jax.lax.pmin(local_min, "mu"), "state")
+        return out, global_min
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Psp(), spec_in),
+        out_specs=(spec_in, Psp()),
+        check_vma=False,
+    )
+    out, fe_min = jax.jit(fn)(h, jax.device_put(mu_grid, NamedSharding(mesh, spec_in)))
+    return out, fe_min

@@ -79,3 +79,24 @@ def test_sharded_sweep_matches_single_device(hist):
     assert np.allclose(np.asarray(out_sharded["fe"]), np.asarray(out_single["fe"]), equal_nan=True)
     fe_valid = np.where(np.asarray(out_single["mask"]), np.asarray(out_single["fe"]), np.inf)
     assert np.isclose(float(fe_min), fe_valid.min())
+
+
+def test_shard_map_sweep_matches(hist):
+    """Explicit-collective shard_map sweep == single-device sweep."""
+    from fhmcanalysis_tpu.parallel import grid_mesh, shard_map_mu_sweep
+
+    hh, meta = hist._hist(), hist._meta()
+    n = min(8, len(jax.devices()))
+    mesh = grid_mesh(n)
+    total = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    mus = np.linspace(-2.0, 7.0, total * 8)
+
+    out, fe_min = shard_map_mu_sweep(mesh, hh, meta, mus, props=True)
+    ref = P.mu_sweep_thermo(hh, meta, mus, props=True)
+    assert np.allclose(np.asarray(out["fe"]), np.asarray(ref["fe"]))
+    assert np.allclose(np.asarray(out["ntot"]), np.asarray(ref["ntot"]))
+    fe_valid = np.where(np.asarray(ref["mask"]), np.asarray(ref["fe"]), np.inf)
+    assert np.isclose(float(fe_min), fe_valid.min())
+
+    with pytest.raises(ValueError):
+        shard_map_mu_sweep(mesh, hh, meta, np.linspace(0, 1, total * 8 + 1))
