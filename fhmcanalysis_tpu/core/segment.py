@@ -145,7 +145,6 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
     def _gap_extrema(anchor, n_anchor, combine_cmp):
         """[0, argext(gap_g) for g<n_anchor-1, last] padded; reproduces the
         over-smoothing repair (gc_hist.pyx:355-366, 370-381)."""
-        filled = jnp.zeros(P + 1, dtype=jnp.int32)
         slots = jnp.arange(P + 1, dtype=jnp.int32)
         gaps = []
         for g in range(P - 1):

@@ -100,3 +100,40 @@ def test_shard_map_sweep_matches(hist):
 
     with pytest.raises(ValueError):
         shard_map_mu_sweep(mesh, hh, meta, np.linspace(0, 1, total * 8 + 1))
+
+
+def test_mu_sweep_with_n1_engine(tmp_path_factory):
+    """The batched sweep works for the N_1 order parameter too: op drives
+    the reweight shift, segmentation/props are op-agnostic."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_gc_n1 import make_n1_fixture
+
+    import fhmcanalysis_tpu.histogram.n1 as n1H
+
+    p = tmp_path_factory.mktemp("n1sweep") / "n1.nc"
+    make_n1_fixture(p)
+    h = n1H.histogram(str(p), 1.0, [1.2, -0.4], 1)
+    hh, meta = h._hist(), h._meta()
+
+    mus = np.linspace(0.5, 2.0, 16)
+    out = P.mu_sweep_thermo(hh, meta, mus, props=True)
+    for i in [0, 7, 15]:
+        hc = n1H.histogram(str(p), 1.0, [1.2, -0.4], 1)
+        hc.reweight(float(mus[i]))
+        hc.thermo()
+        nph = len(hc.data["thermo"])
+        msk = np.asarray(out["mask"][i])
+        assert msk.sum() == nph
+        fe_ref = np.array([hc.data["thermo"][q]["F.E./kT"] for q in range(nph)])
+        assert np.allclose(np.asarray(out["fe"][i])[msk], fe_ref, atol=1e-10)
+
+
+def test_pipeline_nan_free_under_debug_nans(hist):
+    """SURVEY §5: keep the logsumexp discipline so no NaNs occur by
+    construction; jax.debug_nans would raise on any intermediate NaN."""
+    hh, meta = hist._hist(), hist._meta()
+    with jax.debug_nans(True):
+        out = P.mu_sweep_thermo(hh, meta, np.linspace(-2.0, 7.0, 8), props=True)
+        jax.block_until_ready(out)
