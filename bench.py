@@ -11,12 +11,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
 import jax
+
+
+def _watchdog(seconds=540):
+    """Fail fast with a JSON error line instead of hanging forever when
+    the TPU tunnel is unresponsive (it flaps in this environment)."""
+
+    def handler(signum, frame):
+        print(json.dumps({"metric": "bench_timeout", "value": 0.0, "unit": "points/s", "vs_baseline": 0.0}))
+        sys.stdout.flush()
+        import os
+
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
 
 import fhmcanalysis_tpu  # noqa: F401  (enables x64)
 from fhmcanalysis_tpu.core import pipeline as P
@@ -27,6 +43,7 @@ TARGET = 1.0e6  # points/sec north star (BASELINE.md)
 
 
 def main():
+    _watchdog()
     h = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
     hh, meta = h._hist(), h._meta()
 
