@@ -264,7 +264,8 @@ class isopleth(object):
             src0 = self.data["histograms"][0]
             meta0 = src0._meta()
             n0 = len(src0.data["ln(PI)"])
-            bytes_per_mu1 = meta0.nspec**2 * (meta0.n_addr + 1) * n0 * 8  # Hm + H rows
+            W = len(self.data["histograms"])
+            bytes_per_mu1 = W * meta0.nspec**2 * (meta0.n_addr + 1) * n0 * 8  # Hm + H rows, all sources
             mu1_chunk = max(8, int(1e9 // max(bytes_per_mu1, 1)))
 
         cols = []

@@ -101,6 +101,8 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
     the endpoint-inclusion and over-smoothing repair logic of
     gc_hist.pyx:317-415, as a fixed-shape masked computation.
     """
+    if smooth < 1:
+        raise ValueError("smooth must be >= 1 to find relative extrema (scipy argrelextrema rejects order 0 too)")
     N = lnpi.shape[-1]
     P = max_phases
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -172,7 +174,12 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
         return Extrema(maxima0, n_max0, minima, n_min, jnp.array(True))
 
     def branch_min_only(_):
-        """Minima found, no maxima (gc_hist.pyx:367-381)."""
+        """Minima found, no maxima (gc_hist.pyx:367-381).
+
+        Structures needing more than max_phases maxima (n_min0 >= P) do
+        not fit the padded representation; the downstream n_max <= P
+        validity check marks the point invalid rather than truncating
+        silently — raise max_phases to analyze such surfaces."""
         maxima_full, n_maxn = _gap_extrema(minima0, n_min0, -1)
         return Extrema(maxima_full[:P], n_maxn, minima0, n_min0, jnp.array(True))
 

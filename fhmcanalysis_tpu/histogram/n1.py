@@ -251,7 +251,8 @@ class histogram(_ntot.histogram):
 def phase_eq_error(mu_guess, orig_hist, beta, mus, order, cutoff, override, min_width):
     """Min-pair squared F.E./kT gap at mu_guess for the N_1 engine.
 
-    Parity: n1/gc_hist.pyx:1739-1832 (min_width = smooth).
+    Parity: n1/gc_hist.pyx:1739-1832 (min_width = smooth); shares the
+    pair scan with the ntot engine.
     """
     if np.ndim(mu_guess) > 0:
         mu_guess = float(np.asarray(mu_guess).reshape(-1)[0])
@@ -261,19 +262,4 @@ def phase_eq_error(mu_guess, orig_hist, beta, mus, order, cutoff, override, min_
     if beta != orig_hist.data["curr_beta"] or np.all(curr_mu == mus) == False:  # noqa: E712
         hist.temp_mu_extrap(beta, mus, order, cutoff, override, False, True)
     hist.thermo(props=False)
-
-    default = 100.0
-    num_phases = len(hist.data["thermo"])
-    if num_phases == 1:
-        return default
-    errs = []
-    for i in range(num_phases):
-        bi = hist.data["thermo"][i]["bound_idx"]
-        if bi[1] - bi[0] >= min_width:
-            for j in range(i + 1, num_phases):
-                bj = hist.data["thermo"][j]["bound_idx"]
-                if bj[1] - bj[0] >= min_width:
-                    errs.append((hist.data["thermo"][i]["F.E./kT"] - hist.data["thermo"][j]["F.E./kT"]) ** 2)
-    if not errs:
-        return default
-    return min(errs)
+    return _ntot._min_pair_fe_error(hist.data["thermo"], min_width)

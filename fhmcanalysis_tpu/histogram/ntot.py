@@ -686,6 +686,26 @@ class histogram(object):
         return np.asarray(d), np.asarray(m)
 
 
+def _min_pair_fe_error(thermo_dict, min_width):
+    """Width-filtered min-over-pairs squared F.E./kT gap
+    (gc_hist.pyx:2614-2628; shared by the ntot and n1 engines)."""
+    default = 100.0
+    num_phases = len(thermo_dict)
+    if num_phases == 1:
+        return default
+    errs = []
+    for i in range(num_phases):
+        bi = thermo_dict[i]["bound_idx"]
+        if bi[1] - bi[0] >= min_width:
+            for j in range(i + 1, num_phases):
+                bj = thermo_dict[j]["bound_idx"]
+                if bj[1] - bj[0] >= min_width:
+                    errs.append((thermo_dict[i]["F.E./kT"] - thermo_dict[j]["F.E./kT"]) ** 2)
+    if not errs:
+        return default
+    return min(errs)
+
+
 def phase_eq_error(mu_guess, orig_hist, beta, dMu, order, cutoff, override, min_width, collect):
     """Squared F.E./kT difference between closest phase pair at mu_guess.
 
@@ -701,19 +721,4 @@ def phase_eq_error(mu_guess, orig_hist, beta, dMu, order, cutoff, override, min_
     if beta != orig_hist.data["curr_beta"] or np.all(curr_dMu == dMu) == False:  # noqa: E712
         hist.temp_dmu_extrap(beta, dMu, order, cutoff, override, False, True)
     hist.thermo(props=False, collect=collect)
-
-    default = 100.0
-    num_phases = len(hist.data["thermo"])
-    if num_phases == 1:
-        return default
-    errs = []
-    for i in range(num_phases):
-        bi = hist.data["thermo"][i]["bound_idx"]
-        if bi[1] - bi[0] >= min_width:
-            for j in range(i + 1, num_phases):
-                bj = hist.data["thermo"][j]["bound_idx"]
-                if bj[1] - bj[0] >= min_width:
-                    errs.append((hist.data["thermo"][i]["F.E./kT"] - hist.data["thermo"][j]["F.E./kT"]) ** 2)
-    if not errs:
-        return default
-    return min(errs)
+    return _min_pair_fe_error(hist.data["thermo"], min_width)

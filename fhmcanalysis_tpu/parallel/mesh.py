@@ -121,12 +121,13 @@ def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool
         global_min = jax.lax.pmin(jax.lax.pmin(local_min, "mu"), "state")
         return out, global_min
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(Psp(), spec_in),
-        out_specs=(spec_in, Psp()),
-        check_vma=False,
-    )
+    try:
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(Psp(), spec_in), out_specs=(spec_in, Psp()), check_vma=False
+        )
+    except TypeError:  # older shard_map spells it check_rep
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(Psp(), spec_in), out_specs=(spec_in, Psp()), check_rep=False
+        )
     out, fe_min = jax.jit(fn)(h, jax.device_put(mu_grid, NamedSharding(mesh, spec_in)))
     return out, fe_min

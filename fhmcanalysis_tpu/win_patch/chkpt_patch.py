@@ -83,7 +83,7 @@ class window(_f.window):
 
 def patch_all_windows(fnames, **kwargs):
     """kwargs-style driver over the checkpoint window class
-    (chkpt_patch.pyx:683-791)."""
+    (chkpt_patch.pyx:683-791); shares _f._drive_patch."""
     out_fname = kwargs.get("out_fname", "composite.nc")
     log_fname = kwargs.get("log_fname", "patch.log")
     offset = kwargs.get("offset", 2)
@@ -91,10 +91,7 @@ def patch_all_windows(fnames, **kwargs):
     tol = kwargs.get("tol", np.inf)
     skip_hist = kwargs.get("skip_hist", False)
     last_safe_idx = kwargs.get("last_safe_idx", -1)
-    return _patch_all(fnames, out_fname, log_fname, offset, smooth, tol, skip_hist, last_safe_idx)
 
-
-def _patch_all(fnames, out_fname, log_fname, offset, smooth, tol, skip_hist, last_safe_idx):
     histograms = []
     for name_l, name_mom, name_e, name_p in fnames:
         try:
@@ -102,47 +99,18 @@ def _patch_all(fnames, out_fname, log_fname, offset, smooth, tol, skip_hist, las
         except Exception as e:
             raise Exception("Unable to generate patch sequence : %s" % e)
 
-    end = len(histograms) - 1 if last_safe_idx < 0 else last_safe_idx
-    histograms.sort()
-    for i in range(0, end):
-        if i < len(histograms) - 2:
-            if histograms[i].ub <= histograms[i + 1].lb:
-                raise Exception("Histograms from %s and %s do not overlap" % (histograms[i], histograms[i + 1]))
-            if histograms[i].ub > histograms[i + 2].lb:
-                raise Exception(
-                    "Histograms from %s, %s, and %s overlap"
-                    % (histograms[i], histograms[i + 1], histograms[i + 2])
-                )
-        else:
-            if histograms[i].ub <= histograms[i + 1].lb:
-                raise Exception("Histograms from %s and %s do not overlap" % (histograms[i], histograms[i + 1]))
-
-    err_vals = {}
-    with open(log_fname, "w") as f:
-        nxt = end - 1
-        while nxt >= 0:
-            lnPIshift, norm_err2 = histograms[end].merge(histograms[nxt], skip_hist)
-            err_vals[str(histograms[nxt])] = norm_err2
-            f.write("Patching {%s} into {%s} : %s\n" % (histograms[nxt], histograms[end], lnPIshift))
-            nxt -= 1
-
-        for i in range(end):
-            if err_vals[str(histograms[i])] > tol:
-                _patch_all(fnames, out_fname, log_fname, offset, smooth, tol, skip_hist, i)
-
-    if len(histograms) == 1:
-        max_err = [str(histograms[0]), 0.0]
-    else:
-        max_err = max(err_vals.items(), key=lambda kv: kv[1])
-    histograms[end].normalize()
-
-    isum = float(np.exp(_f._logsumexp(histograms[end].lnPI)))
-    if abs(isum - 1.0) > 1.0e-10:
-        raise Exception(
-            "Failed to patch: composite PI sums to %s which differs from 1 by %s" % (isum, abs(isum - 1.0))
-        )
-    histograms[end].to_nc(out_fname)
-    return max_err[0], max_err[1]
+    return _f._drive_patch(
+        histograms,
+        merge=lambda end, nxt: end.merge(nxt, skip_hist),
+        repatch=lambda i: patch_all_windows(
+            fnames, out_fname=out_fname, log_fname=log_fname, offset=offset,
+            smooth=smooth, tol=tol, skip_hist=skip_hist, last_safe_idx=i,
+        ),
+        out_fname=out_fname,
+        log_fname=log_fname,
+        tol=tol,
+        last_safe_idx=last_safe_idx,
+    )
 
 
 def get_patch_sequence(idir, **kwargs):
@@ -155,7 +123,7 @@ def get_patch_sequence(idir, **kwargs):
     bound = kwargs.get("bound", 1000000)
 
     d0 = idir[:-1] if idir.endswith("/") else copy.copy(idir)
-    oD = sorted(tryint(f) for f in os.listdir(d0) if not os.path.isfile(os.path.join(d0, f)))
+    oD = _f._sorted_mixed(tryint(f) for f in os.listdir(d0) if not os.path.isfile(os.path.join(d0, f)))
     only_dirs = [
         d0 + "/" + str(d) + "/checkpt"
         for d in oD

@@ -52,6 +52,12 @@ def sort_nicely(lst):
     lst.sort(key=alphanum_key)
 
 
+def _sorted_mixed(items):
+    """Sort ints before strings, each ascending — the py2 ordering the
+    reference relied on (sorted() crashes on mixed types in py3)."""
+    return sorted(items, key=lambda v: (isinstance(v, str), v))
+
+
 def _logsumexp(x):
     x = np.asarray(x, dtype=np.float64)
     m = np.max(x)
@@ -111,15 +117,17 @@ class local_hist(object):
                     else:
                         sect = None
                 else:
-                    vals = [float(x) for x in line.split("\t") if x != "\n"]
+                    # parse only inside a recognized section; stray lines
+                    # are ignored like the reference's else-pass
+                    # (fhmc_patch.pyx:189-199)
                     if sect == "bw":
-                        self.bw = np.array(vals)
+                        self.bw = np.array([float(x) for x in line.split("\t") if x != "\n"])
                     elif sect == "lb":
-                        self.lb = np.array(vals)
+                        self.lb = np.array([float(x) for x in line.split("\t") if x != "\n"])
                     elif sect == "ub":
-                        self.ub = np.array(vals)
+                        self.ub = np.array([float(x) for x in line.split("\t") if x != "\n"])
                     elif sect == "h":
-                        self.h.append(np.array(vals))
+                        self.h.append(np.array([float(x) for x in line.split("\t") if x != "\n"]))
 
         assert len(self.lb) == len(self.ub), "Bad bounds in local_hist"
         assert len(self.lb) == len(self.bw), "Bad bin width in local_hist"
@@ -433,29 +441,16 @@ def patch_window_pair(window_hist1, window_hist2, ftol=1.0e-6):
     return shift, err2 / len(s1)
 
 
-def patch_all_windows(
-    fnames,
-    out_fname="composite.nc",
-    log_fname="patch.log",
-    offset=2,
-    smooth=False,
-    tol=np.inf,
-    skip_hist=False,
-    last_safe_idx=-1,
-):
-    """Patch a sorted series of windows into one composite histogram.
+def _drive_patch(histograms, merge, repatch, out_fname, log_fname, tol, last_safe_idx):
+    """Shared patching driver: sort, overlap validation, high-to-low merge
+    loop with shift log, tolerance-triggered recursive re-patch, final
+    normalization with the 1e-10 sum check, netCDF output.
 
-    Parity: fhmc_patch.pyx:713-813 — pairwise-only-overlap asserts,
-    high-to-low merge order, recursive re-patch below the worst error,
-    final normalization with a 1e-10 sum check, netCDF output.
+    Used by the fhmc, chkpt and feasst front-ends (parity: the three
+    near-identical loops at fhmc_patch.pyx:713-813, chkpt_patch.pyx:
+    683-791, feasst_patch.pyx:429-536); merge(end, nxt) and repatch(i)
+    encapsulate the per-format differences.
     """
-    histograms = []
-    for name_l, name_mom, name_e, name_p in fnames:
-        try:
-            histograms.append(window(name_l, name_mom, name_e, name_p, offset, smooth))
-        except Exception as e:
-            raise Exception("Unable to generate patch sequence : %s" % e)
-
     end = len(histograms) - 1 if last_safe_idx < 0 else last_safe_idx
 
     histograms.sort()
@@ -480,7 +475,7 @@ def patch_all_windows(
     with open(log_fname, "w") as f:
         nxt = end - 1
         while nxt >= 0:
-            lnPIshift, norm_err2 = histograms[end].merge(histograms[nxt], skip_hist)
+            lnPIshift, norm_err2 = merge(histograms[end], histograms[nxt])
             err_vals[str(histograms[nxt])] = norm_err2
             f.write(
                 "Patching {%s} into {%s} : %s\n" % (histograms[nxt], histograms[end], lnPIshift)
@@ -493,7 +488,7 @@ def patch_all_windows(
                     "ln(PI) error tolerance exceeded for %s, repatching below this: %s > %s\n"
                     % (histograms[i], err_vals[str(histograms[i])], tol)
                 )
-                patch_all_windows(fnames, out_fname, log_fname, offset, smooth, tol, skip_hist, i)
+                repatch(i)
 
     if len(histograms) == 1:
         max_err = [str(histograms[0]), 0.0]
@@ -511,6 +506,38 @@ def patch_all_windows(
     return max_err[0], max_err[1]
 
 
+def patch_all_windows(
+    fnames,
+    out_fname="composite.nc",
+    log_fname="patch.log",
+    offset=2,
+    smooth=False,
+    tol=np.inf,
+    skip_hist=False,
+    last_safe_idx=-1,
+):
+    """Patch a sorted series of windows into one composite histogram.
+
+    Parity: fhmc_patch.pyx:713-813 — see _drive_patch for the shared loop.
+    """
+    histograms = []
+    for name_l, name_mom, name_e, name_p in fnames:
+        try:
+            histograms.append(window(name_l, name_mom, name_e, name_p, offset, smooth))
+        except Exception as e:
+            raise Exception("Unable to generate patch sequence : %s" % e)
+
+    return _drive_patch(
+        histograms,
+        merge=lambda end, nxt: end.merge(nxt, skip_hist),
+        repatch=lambda i: patch_all_windows(fnames, out_fname, log_fname, offset, smooth, tol, skip_hist, i),
+        out_fname=out_fname,
+        log_fname=log_fname,
+        tol=tol,
+        last_safe_idx=last_safe_idx,
+    )
+
+
 def get_patch_sequence(idir, **kwargs):
     """Scan numbered window directories for the files to patch.
 
@@ -524,9 +551,7 @@ def get_patch_sequence(idir, **kwargs):
 
     d0 = idir[:-1] if idir.endswith("/") else idir
 
-    oD = sorted(
-        tryint(f) for f in os.listdir(d0) if not os.path.isfile(os.path.join(d0, f))
-    )
+    oD = _sorted_mixed(tryint(f) for f in os.listdir(d0) if not os.path.isfile(os.path.join(d0, f)))
     only_dirs = [d0 + "/" + str(d) for d in oD if tryint(d) <= int(bound)]
 
     lnPI_fname, mom_fname, ehist_fname, pkhist_prefix = [], [], [], []
