@@ -47,7 +47,9 @@ def main():
     h = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
     hh, meta = h._hist(), h._meta()
 
-    B = 65536
+    # Large batch amortizes the fixed per-call RPC latency of the tunnel
+    # (~26 ms round trip regardless of payload; measured 2026-08-16).
+    B = 262_144
     mu_lo, mu_hi = -2.0, 7.0
 
     sweep = lambda mus: P.mu_sweep_thermo(hh, meta, mus, props=True)  # noqa: E731
@@ -80,7 +82,7 @@ def main():
     # steady-state timing over fresh grids.  NB: on the axon platform
     # jax.block_until_ready does not reliably block, so force completion by
     # reading back a scalar from each launch.
-    n_rep = 10
+    n_rep = 8
     grids = [jax.numpy.linspace(mu_lo + 0.001 * k, mu_hi, B) for k in range(n_rep)]
     _ = [float(g[0]) for g in grids]
     _ = float(sweep(grids[0])["fe"][0, 0])  # sync point
