@@ -150,8 +150,7 @@ def _grid_eval(
 
         lnpi = normalize_lnpi(ln_m)
         prob = jnp.exp(lnpi)
-        pt = _segment.thermo_core(lnpi, prob, mom_m, meta, props=True)
-        props = _segment.phase_props(pt, volume)
+        pt, props = _segment.thermo_core_props(lnpi, prob, mom_m, meta, volume)
 
         stable = jnp.argmin(jnp.where(pt.mask, pt.fe, jnp.inf))
         # is_safe: last maximum at least `cutoff` above the tail

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .extrap import temp_dmu_extrap
 from .ops import reweight
-from .segment import phase_props, thermo, thermo_core
+from .segment import thermo, thermo_core, thermo_core_props, thermo_props
 from .state import Hist, HistMeta
 
 __all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_sweep_body", "most_stable_phase"]
@@ -38,7 +38,10 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
     s = jnp.sum(e, axis=-1, keepdims=True)
     lnpi = x - (m + jnp.log(s))
     prob = e / s
-    pt = thermo_core(lnpi, prob, h.mom, meta, props=props)
+    if props:
+        pt, pp = thermo_core_props(lnpi, prob, h.mom, meta, h.volume)
+    else:
+        pt, pp = thermo_core(lnpi, prob, h.mom, meta, props=False), None
     out = {
         "fe": pt.fe,
         "mask": pt.mask,
@@ -48,7 +51,7 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
         "valid": pt.valid,
     }
     if props:
-        out.update(phase_props(pt, h.volume))
+        out.update(pp)
     return out
 
 
@@ -89,10 +92,13 @@ def mu_beta_sweep_body(
     def point(mu, beta, dmu):
         hh = reweight(h, mu)
         hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=not props, first_order_mom=first_order_mom)
-        hh, pt = thermo(hh, meta, props=props)
+        if props:
+            hh, pt, pp = thermo_props(hh, meta)
+        else:
+            (hh, pt), pp = thermo(hh, meta, props=False), None
         out = {"fe": pt.fe, "mask": pt.mask, "n_phases": pt.n_phases, "valid": pt.valid}
         if props:
-            out.update(phase_props(pt, hh.volume))
+            out.update(pp)
         return out
 
     inner = jax.vmap(point, in_axes=(None, 0, 0))  # over (beta, dmu)

@@ -70,14 +70,20 @@ class PhaseThermo:
 
 
 def _compress_indices(flags: jax.Array, size: int) -> tuple[jax.Array, jax.Array]:
-    """Indices where flags is True, sorted ascending, padded with BIG."""
+    """Indices where flags is True, ascending, padded with BIG.
+
+    Sort-free: ranks from a cumsum + a [size, N] one-hot contraction —
+    bitonic sorts under vmap were the dominant segmentation cost on TPU.
+    """
     n = flags.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    vals = jnp.sort(jnp.where(flags, idx, BIG))
-    out = jnp.full(size, BIG, dtype=jnp.int32)
-    k = min(size, n)
-    out = out.at[:k].set(vals[:k])
-    return out, jnp.sum(flags).astype(jnp.int32)
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1  # rank of each flagged bin
+    slots = jnp.arange(size, dtype=jnp.int32)
+    onehot = flags[None, :] & (pos[None, :] == slots[:, None])  # [size, N]
+    out = jnp.sum(jnp.where(onehot, idx[None, :], 0), axis=1).astype(jnp.int32)
+    count = jnp.sum(flags).astype(jnp.int32)
+    out = jnp.where(slots < count, out, BIG)
+    return out, count
 
 
 def _prepend(arr, cnt, val):
@@ -262,20 +268,12 @@ def thermo(
     return h, pt
 
 
-def thermo_core(
-    lnpi: jax.Array,
-    prob: jax.Array,
-    mom: jax.Array,
-    meta: HistMeta,
-    props: bool = True,
-    complete: bool = False,
-    dedupe_mom: bool = True,
-) -> PhaseThermo:
-    """Segmentation + integration given normalized lnPI and its exp.
+def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool):
+    """Shared segmentation + probability integration.
 
-    Separated so fused sweep pipelines can share one exp between
-    normalization and integration (exp dominates the non-matmul cost of a
-    sweep point on TPU-emulated f64).
+    Returns (lefts, rights, mask, n_phases, valid, w, wsum, fe) where
+    w is the [P,N] per-phase masked probability and fe the per-phase
+    F.E./kT relative to the first bin (gc_hist.pyx:523-526).
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
@@ -298,9 +296,29 @@ def thermo_core(
     w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
     wsum = jnp.sum(w, axis=-1)  # [P]
 
-    # F.E./kT relative to the first bin (gc_hist.pyx:523-526)
     fe = lnpi[..., 0] - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
     fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
+    return lefts, rights, mask, n_phases, valid, w, wsum, fe
+
+
+def thermo_core(
+    lnpi: jax.Array,
+    prob: jax.Array,
+    mom: jax.Array,
+    meta: HistMeta,
+    props: bool = True,
+    complete: bool = False,
+    dedupe_mom: bool = True,
+) -> PhaseThermo:
+    """Segmentation + integration given normalized lnPI and its exp.
+
+    Separated so fused sweep pipelines can share one exp between
+    normalization and integration (exp dominates the non-matmul cost of a
+    sweep point on TPU-emulated f64).
+    """
+    P = meta.max_phases
+    N = lnpi.shape[-1]
+    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete)
 
     if props:
         mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
@@ -332,6 +350,62 @@ def thermo_core(
         n_phases=n_phases,
         valid=valid,
     )
+
+
+def thermo_core_props(
+    lnpi: jax.Array,
+    prob: jax.Array,
+    mom: jax.Array,
+    meta: HistMeta,
+    volume,
+    complete: bool = False,
+) -> tuple[PhaseThermo, dict]:
+    """Segmentation + phase properties WITHOUT the full mom_avg tensor.
+
+    phase_props only reads the <N_i> and <U> rows (gc_hist.pyx:543-552) —
+    nspec+1 of the nspec^2*(mo+1)^3 moment rows.  The batched sweep
+    pipelines use this path: contracting the full tensor is ~15x more f64
+    multiply-adds, XLA does not DCE unused einsum rows through the
+    reshape, and scattering the key rows into a padded mom_avg would
+    still materialize a [B,P,A] buffer per sweep.  Returned PhaseThermo
+    has mom_avg == 0 (dead, so XLA elides it when the caller drops it).
+    """
+    P = meta.max_phases
+    N = lnpi.shape[-1]
+    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete)
+
+    mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
+    S, M1 = meta.nspec, meta.max_order + 1
+    # flat addresses of (i,1,0,0,0) for each species, then (0,0,0,0,1)
+    rows = [(i * M1 + 1) * S * M1 * M1 for i in range(S)] + [1]
+    key = mom2d[jnp.array(rows, dtype=jnp.int32)]  # [S+1,N]
+    pm = jnp.sum(w[:, None, :] * key[None, :, :], axis=-1)  # [P,S+1]
+    pm = pm / jnp.where(wsum > 0, wsum, 1.0)[:, None]
+
+    n_i = pm[:, :S]  # [P,S]
+    u = pm[:, S]  # [P]
+    ntot = jnp.sum(n_i, axis=-1)
+    x_i = n_i / jnp.where(ntot != 0, ntot, 1.0)[:, None]
+    props = {"n_i": n_i, "ntot": ntot, "density": ntot / volume, "u": u, "x_i": x_i}
+
+    pt = PhaseThermo(
+        fe=fe,
+        left=lefts,
+        right=rights,
+        mask=mask,
+        mom_avg=jnp.zeros((P,) + meta.mom_shape(1)[:-1], dtype=lnpi.dtype),
+        n_phases=n_phases,
+        valid=valid,
+    )
+    return pt, props
+
+
+def thermo_props(h: Hist, meta: HistMeta, complete: bool = False) -> tuple[Hist, PhaseThermo, dict]:
+    """normalize + thermo_core_props convenience wrapper."""
+    lnpi = normalize_lnpi(h.lnpi)
+    h = h.replace(lnpi=lnpi)
+    pt, props = thermo_core_props(lnpi, jnp.exp(lnpi), h.mom, meta, h.volume, complete=complete)
+    return h, pt, props
 
 
 def phase_props(pt: PhaseThermo, volume) -> dict:

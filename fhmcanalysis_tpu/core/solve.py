@@ -200,10 +200,9 @@ def trace_coexistence(
             h, meta, lnZ_tol, mu_guess, beta=beta, dmu=dmu, order=order,
             min_width=min_width, extrapolate=True, full_mom=True,
         )
-        out, pt = thermo(out, meta, props=True)
-        from .segment import phase_props
+        from .segment import thermo_props
 
-        props = phase_props(pt, out.volume)
+        out, pt, props = thermo_props(out, meta)
         return {
             "mu_star": mu_star,
             "fe": pt.fe,

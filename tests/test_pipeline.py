@@ -137,3 +137,24 @@ def test_pipeline_nan_free_under_debug_nans(hist):
     with jax.debug_nans(True):
         out = P.mu_sweep_thermo(hh, meta, np.linspace(-2.0, 7.0, 8), props=True)
         jax.block_until_ready(out)
+
+
+def test_thermo_core_props_matches_full_tensor(hist):
+    """The fused key-row props path (segment.thermo_core_props) must agree
+    exactly with phase_props(thermo_core(props=True)) — same contraction,
+    just restricted to the <N_i>/<U> rows the sweep outputs consume."""
+    from fhmcanalysis_tpu.core import ops
+    from fhmcanalysis_tpu.core import segment as S
+
+    hh, meta = hist._hist(), hist._meta()
+    for mu in [-2.0, 1.5, 4.0, 7.0]:
+        hr = ops.reweight(hh, mu)
+        lnpi = hr.lnpi - jax.scipy.special.logsumexp(hr.lnpi)
+        prob = jnp.exp(lnpi)
+        pt_full = S.thermo_core(lnpi, prob, hr.mom, meta, props=True)
+        ref = S.phase_props(pt_full, hr.volume)
+        pt_key, got = S.thermo_core_props(lnpi, prob, hr.mom, meta, hr.volume)
+        for k in ref:
+            assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), (mu, k)
+        for f in ("fe", "left", "right", "mask", "n_phases", "valid"):
+            assert np.array_equal(np.asarray(getattr(pt_full, f)), np.asarray(getattr(pt_key, f))), (mu, f)
