@@ -49,8 +49,9 @@ def main():
 
     # Large batch amortizes the fixed per-call RPC latency of the tunnel
     # (~26 ms round trip regardless of payload; measured 2026-08-16).
-    # Throughput saturates at B>=524288 (3.2M pts/s; 1M adds nothing).
-    B = 524_288
+    # B=2M is the sweet spot after the gather-free segmentation rewrite
+    # (11.1M pts/s; 4M exceeds the 16G HBM).
+    B = 2_097_152
     mu_lo, mu_hi = -2.0, 7.0
 
     sweep = lambda mus: P.mu_sweep_thermo(hh, meta, mus, props=True)  # noqa: E731

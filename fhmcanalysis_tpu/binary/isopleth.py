@@ -155,13 +155,13 @@ def _grid_eval(
         stable = jnp.argmin(jnp.where(pt.mask, pt.fe, jnp.inf))
         # is_safe: last maximum at least `cutoff` above the tail
         ext = _segment.relextrema(lnpi, meta.smooth, P)
-        last_max = jnp.take(ext.maxima, ext.n_max - 1, mode="clip")
-        safe = (jnp.take(lnpi, last_max) - lnpi[-1]) >= cutoff
+        last_max = _segment._take_small(ext.maxima, ext.n_max - 1)
+        safe = (_segment._take_small(lnpi, last_max) - lnpi[-1]) >= cutoff
         ok = pt.valid & safe & edge_ok[l, ix] & edge_ok[r, ix]
 
-        x1 = jnp.take(props["x_i"][:, 0], stable)
-        rho = jnp.take(props["density"], stable)
-        fe = jnp.take(pt.fe, stable)
+        x1 = _segment._take_small(props["x_i"][:, 0], stable)
+        rho = _segment._take_small(props["density"], stable)
+        fe = _segment._take_small(pt.fe, stable)
         z = jnp.where(ok, x1, 0.0)
         return z, jnp.where(ok, rho, 0.0), jnp.where(ok, fe, 0.0), ok
 
