@@ -31,6 +31,13 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
     Computes exp once: the normalization shift and the probability weights
     share the same exp(x - max) intermediates (f64 exp is the dominant
     VPU cost under TPU f64 emulation).
+
+    The max-shift is mandatory, not just precision hygiene: TPU-emulated
+    f64 keeps only the f32 EXPONENT range (exp(+-100) reads inf/0 on
+    device, measured 2026-08-16), so any scheme whose intermediates span
+    the raw lnPI range — e.g. factorizing exp(c*op) through hoisted
+    exp(lnpi - lnpi[ref]) powers — silently corrupts probabilities for
+    real lnPI ranges (hundreds of log units).  exp(x - max) <= 1 always.
     """
     x = h.lnpi + (mu1 - h.curr_mu[..., 0]) * h.curr_beta * h.op
     m = jnp.max(x, axis=-1, keepdims=True)
