@@ -28,27 +28,27 @@ __all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_
 def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
     """Fused reweight+normalize+thermo for one state point.
 
-    Computes exp once: the normalization shift and the probability weights
-    share the same exp(x - max) intermediates (f64 exp is the dominant
-    VPU cost under TPU f64 emulation).
+    Normalization never happens: F.E. and the per-phase moment averages
+    are invariant under lnpi -> lnpi + c (segmentation compares values,
+    fe/props are ratios), so segmentation runs on the raw reweighted
+    surface and integration on e = exp(x - max) with shift = max — no
+    normalization log, no [N]-wide e/s division (f64 division is emulated
+    op-by-op on TPU), one exp total.
 
-    The max-shift is mandatory, not just precision hygiene: TPU-emulated
-    f64 keeps only the f32 EXPONENT range (exp(+-100) reads inf/0 on
-    device, measured 2026-08-16), so any scheme whose intermediates span
-    the raw lnPI range — e.g. factorizing exp(c*op) through hoisted
-    exp(lnpi - lnpi[ref]) powers — silently corrupts probabilities for
-    real lnPI ranges (hundreds of log units).  exp(x - max) <= 1 always.
+    The max-shift in the exp is mandatory, not just precision hygiene:
+    TPU-emulated f64 keeps only the f32 EXPONENT range (exp(+-100) reads
+    inf/0 on device, measured 2026-08-16), so any scheme whose
+    intermediates span the raw lnPI range — e.g. factorizing exp(c*op)
+    through hoisted exp(lnpi - lnpi[ref]) powers — silently corrupts
+    probabilities for real lnPI ranges.  exp(x - max) <= 1 always.
     """
     x = h.lnpi + (mu1 - h.curr_mu[..., 0]) * h.curr_beta * h.op
     m = jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    lnpi = x - (m + jnp.log(s))
-    prob = e / s
     if props:
-        pt, pp = thermo_core_props(lnpi, prob, h.mom, meta, h.volume)
+        pt, pp = thermo_core_props(x, e, h.mom, meta, h.volume, shift=m[..., 0])
     else:
-        pt, pp = thermo_core(lnpi, prob, h.mom, meta, props=False), None
+        pt, pp = thermo_core(x, e, h.mom, meta, props=False, shift=m[..., 0]), None
     out = {
         "fe": pt.fe,
         "mask": pt.mask,

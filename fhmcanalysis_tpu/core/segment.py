@@ -117,6 +117,17 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
     Reproduces argrelextrema(..., order=smooth, mode='clip') semantics plus
     the endpoint-inclusion and over-smoothing repair logic of
     gc_hist.pyx:317-415, as a fixed-shape masked computation.
+
+    The reference's four cases are flattened into straight-line selects
+    (under vmap a lax.switch evaluates EVERY branch for EVERY point, so
+    branch bodies are always paid — make them shared and cheap):
+      * the no-extrema "straight line" case (gc_hist.pyx:382-386) merges
+        into the stencil flags as maxima = (lnpi == max), minima =
+        (lnpi == min); the reference applies NO endpoint rules in this
+        case (ties may sit anywhere, e.g. over-smoothed interior peaks),
+        so the both-branch transforms are bypassed for it below;
+      * the two over-smoothing repair branches (:352-381) differ only in
+        anchor list and extremum sign, so one merged gap scan serves both.
     """
     if smooth < 1:
         raise ValueError("smooth must be >= 1 to find relative extrema (scipy argrelextrema rejects order 0 too)")
@@ -134,81 +145,67 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
         is_max = is_max & (lnpi > up) & (lnpi > dn)
         is_min = is_min & (lnpi < up) & (lnpi < dn)
 
-    maxima0, n_max0 = _compress_indices(is_max, P)
-    minima0, n_min0 = _compress_indices(is_min, P + 1)
+    has_max = jnp.any(is_max)
+    has_min = jnp.any(is_min)
+    any_ext = has_max | has_min
+    # straight-line fallback folded into the flags (gc_hist.pyx:382-386)
+    fmax = jnp.where(any_ext, is_max, lnpi == jnp.max(lnpi))
+    fmin = jnp.where(any_ext, is_min, lnpi == jnp.min(lnpi))
 
+    maxima0, n_max0 = _compress_indices(fmax, P)
+    minima0, n_min0 = _compress_indices(fmin, P + 1)
+
+    max_only = has_max & ~has_min
+    min_only = has_min & ~has_max
+    none_case = ~any_ext
+
+    # --- both-found endpoint rules (gc_hist.pyx:333-351) ---
+    maxima, n_max, minima, n_min = maxima0, n_max0, minima0, n_min0
+    validB = jnp.array(True)
+    zero_in = (maxima[0] == 0) | (minima[0] == 0)
+    pre_min = (~zero_in) & (maxima[0] < minima[0])
+    pre_max = (~zero_in) & (maxima[0] > minima[0])
+    validB = validB & (zero_in | pre_min | pre_max)
+    minima, n_min = _sel(pre_min, _prepend(minima, n_min, 0), (minima, n_min))
+    maxima, n_max = _sel(pre_max, _prepend(maxima, n_max, 0), (maxima, n_max))
+    last_mx = _take_small(maxima, n_max - 1)
+    last_mn = _take_small(minima, n_min - 1)
+    last_in = (last_mx == last) | (last_mn == last)
+    app_max = (~last_in) & (last_mx < last_mn)
+    app_min = (~last_in) & (last_mx > last_mn)
+    validB = validB & (last_in | app_max | app_min)
+    maxima, n_max = _sel(app_max, _append_at(maxima, n_max, last), (maxima, n_max))
+    minima, n_min = _sel(app_min, _append_at(minima, n_min, last), (minima, n_min))
+
+    # --- merged over-smoothing repair (gc_hist.pyx:352-381): endpoints +
+    # per-gap arg-extremum of the non-found kind between found anchors ---
+    anchor = jnp.where(max_only, jnp.concatenate([maxima0, jnp.array([BIG], jnp.int32)]), minima0)
+    n_anchor = jnp.where(max_only, n_max0, n_min0)
+    sgn = jnp.where(max_only, lnpi.dtype.type(1.0), lnpi.dtype.type(-1.0))
     inf = jnp.array(jnp.inf, dtype=lnpi.dtype)
+    gaps = []
+    for g in range(P - 1):
+        in_gap = (idx >= anchor[g]) & (idx < anchor[g + 1])
+        vals = jnp.where(in_gap, sgn * lnpi, inf)
+        gaps.append(jnp.argmin(vals).astype(jnp.int32))  # first occurrence, as np.where(...)[0]
+    gaps = jnp.stack(gaps) if gaps else jnp.zeros(0, dtype=jnp.int32)
+    slots = jnp.arange(P + 1, dtype=jnp.int32)
+    filled = jnp.where(slots == 0, 0, BIG)
+    if P - 1 > 0:
+        gvals = jnp.take(gaps, jnp.clip(slots - 1, 0, P - 2))  # constant indices: no device gather
+        filled = jnp.where((slots >= 1) & (slots <= n_anchor - 1), gvals, filled)
+    filled = jnp.where(slots == n_anchor, last, filled)
 
-    def branch_both(_):
-        """Found some max and min (gc_hist.pyx:333-351)."""
-        maxima, n_max, minima, n_min = maxima0, n_max0, minima0, n_min0
-        valid = jnp.array(True)
-
-        zero_in = (maxima[0] == 0) | (minima[0] == 0)
-        pre_min = (~zero_in) & (maxima[0] < minima[0])
-        pre_max = (~zero_in) & (maxima[0] > minima[0])
-        valid = valid & (zero_in | pre_min | pre_max)
-        minima, n_min = _sel(pre_min, _prepend(minima, n_min, 0), (minima, n_min))
-        maxima, n_max = _sel(pre_max, _prepend(maxima, n_max, 0), (maxima, n_max))
-
-        last_mx = _take_small(maxima, n_max - 1)
-        last_mn = _take_small(minima, n_min - 1)
-        last_in = (last_mx == last) | (last_mn == last)
-        app_max = (~last_in) & (last_mx < last_mn)
-        app_min = (~last_in) & (last_mx > last_mn)
-        valid = valid & (last_in | app_max | app_min)
-        maxima, n_max = _sel(app_max, _append_at(maxima, n_max, last), (maxima, n_max))
-        minima, n_min = _sel(app_min, _append_at(minima, n_min, last), (minima, n_min))
-        return Extrema(maxima, n_max, minima, n_min, valid)
-
-    def _gap_extrema(anchor, n_anchor, combine_cmp):
-        """[0, argext(gap_g) for g<n_anchor-1, last] padded; reproduces the
-        over-smoothing repair (gc_hist.pyx:355-366, 370-381)."""
-        slots = jnp.arange(P + 1, dtype=jnp.int32)
-        gaps = []
-        for g in range(P - 1):
-            l = jnp.take(anchor, g, mode="clip")
-            r = jnp.take(anchor, g + 1, mode="clip")
-            in_gap = (idx >= l) & (idx < r)
-            vals = jnp.where(in_gap, lnpi, combine_cmp * inf)
-            pos = jnp.argmin(vals) if combine_cmp > 0 else jnp.argmax(vals)
-            gaps.append(pos.astype(jnp.int32))
-        gaps = jnp.stack(gaps) if gaps else jnp.zeros(0, dtype=jnp.int32)
-
-        # slot 0 -> 0; slots 1..n_anchor-1 -> gap argext; slot n_anchor -> last
-        filled = jnp.where(slots == 0, 0, BIG)
-        if P - 1 > 0:
-            gslot = slots - 1  # gap index for slots >= 1
-            gvals = jnp.take(gaps, jnp.clip(gslot, 0, P - 2))
-            filled = jnp.where((slots >= 1) & (slots <= n_anchor - 1), gvals, filled)
-        filled = jnp.where(slots == n_anchor, last, filled)
-        return filled, n_anchor + 1
-
-    def branch_max_only(_):
-        """Maxima found, no minima: minima at endpoints + gap argmins
-        (gc_hist.pyx:352-366)."""
-        minima, n_min = _gap_extrema(maxima0, n_max0, +1)
-        return Extrema(maxima0, n_max0, minima, n_min, jnp.array(True))
-
-    def branch_min_only(_):
-        """Minima found, no maxima (gc_hist.pyx:367-381).
-
-        Structures needing more than max_phases maxima (n_min0 >= P) do
-        not fit the padded representation; the downstream n_max <= P
-        validity check marks the point invalid rather than truncating
-        silently — raise max_phases to analyze such surfaces."""
-        maxima_full, n_maxn = _gap_extrema(minima0, n_min0, -1)
-        return Extrema(maxima_full[:P], n_maxn, minima0, n_min0, jnp.array(True))
-
-    def branch_none(_):
-        """Monotonic ("straight line") surface: global arg-extrema
-        (gc_hist.pyx:382-386)."""
-        mx, nmx = _compress_indices(lnpi == jnp.max(lnpi), P)
-        mn, nmn = _compress_indices(lnpi == jnp.min(lnpi), P + 1)
-        return Extrema(mx, nmx, mn, nmn, jnp.array(True))
-
-    code = 2 * (n_max0 > 0).astype(jnp.int32) + (n_min0 > 0).astype(jnp.int32)
-    ext = lax.switch(code, [branch_none, branch_min_only, branch_max_only, branch_both], None)
+    # --- select per case (exclusive) ---
+    raw_max = max_only | none_case  # cases keeping the compressed maxima as-is
+    raw_min = min_only | none_case
+    ext = Extrema(
+        maxima=jnp.where(min_only, filled[:P], jnp.where(raw_max, maxima0, maxima)),
+        n_max=jnp.where(min_only, n_anchor + 1, jnp.where(raw_max, n_max0, n_max)),
+        minima=jnp.where(max_only, filled, jnp.where(raw_min, minima0, minima)),
+        n_min=jnp.where(max_only, n_anchor + 1, jnp.where(raw_min, n_min0, n_min)),
+        valid=jnp.where(max_only | min_only | none_case, True, validB),
+    )
 
     # --- alternation + ordering checks (gc_hist.pyx:402-415) ---
     valid = ext.valid & (jnp.abs(ext.n_max - ext.n_min) <= 1)
@@ -287,17 +284,10 @@ def thermo(
     return h, pt
 
 
-def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool):
-    """Shared segmentation + probability integration.
-
-    Returns (lefts, rights, mask, n_phases, valid, w, wsum, fe) where
-    w is the [P,N] per-phase masked probability and fe the per-phase
-    F.E./kT relative to the first bin (gc_hist.pyx:523-526).
-    """
+def _segment_bounds(lnpi, meta: HistMeta, complete: bool):
+    """Segmentation: padded per-phase bounds + masks."""
     P = meta.max_phases
     N = lnpi.shape[-1]
-    idx = jnp.arange(N, dtype=jnp.int32)
-
     if complete:
         lefts = jnp.zeros(P, dtype=jnp.int32)
         rights = jnp.where(jnp.arange(P) == 0, N, 0).astype(jnp.int32)
@@ -309,13 +299,33 @@ def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool):
         lefts, rights, mask = phase_bounds(ext, N, P)
         n_phases = ext.n_max
         valid = ext.valid
+    return lefts, rights, mask, n_phases, valid
+
+
+def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0):
+    """Shared segmentation + probability integration.
+
+    Returns (lefts, rights, mask, n_phases, valid, w, wsum, fe) where
+    w is the [P,N] per-phase masked probability and fe the per-phase
+    F.E./kT relative to the first bin (gc_hist.pyx:523-526).
+
+    shift: F.E. and all moment averages are invariant under lnpi -> lnpi+c
+    with prob scaled by e^c, so sweep pipelines may pass the UNNORMALIZED
+    surface plus its raw exp(x - max) weights and shift = max — skipping
+    the normalization log and the [N]-wide e/s division entirely (f64
+    division is emulated op-by-op on TPU).  fe then reads
+    lnpi[0] - shift - log(sum_seg w).
+    """
+    N = lnpi.shape[-1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete)
 
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
     w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
     wsum = jnp.sum(w, axis=-1)  # [P]
 
-    fe = lnpi[..., 0] - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
+    fe = lnpi[..., 0] - shift - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
     fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
     return lefts, rights, mask, n_phases, valid, w, wsum, fe
 
@@ -328,16 +338,18 @@ def thermo_core(
     props: bool = True,
     complete: bool = False,
     dedupe_mom: bool = True,
+    shift=0.0,
 ) -> PhaseThermo:
     """Segmentation + integration given normalized lnPI and its exp.
 
     Separated so fused sweep pipelines can share one exp between
     normalization and integration (exp dominates the non-matmul cost of a
-    sweep point on TPU-emulated f64).
+    sweep point on TPU-emulated f64).  See _segment_integrate for the
+    shift convention (unnormalized inputs allowed).
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
-    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete)
+    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift)
 
     if props:
         mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
@@ -378,6 +390,7 @@ def thermo_core_props(
     meta: HistMeta,
     volume,
     complete: bool = False,
+    shift=0.0,
 ) -> tuple[PhaseThermo, dict]:
     """Segmentation + phase properties WITHOUT the full mom_avg tensor.
 
@@ -391,16 +404,24 @@ def thermo_core_props(
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
-    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete)
+    in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
+    w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
 
     mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
     S, M1 = meta.nspec, meta.max_order + 1
-    # flat addresses of (i,1,0,0,0) for each species, then (0,0,0,0,1)
+    # flat addresses of (i,1,0,0,0) for each species, then (0,0,0,0,1);
+    # a leading ones row folds the wsum reduction into the same pass over w
     rows = [(i * M1 + 1) * S * M1 * M1 for i in range(S)] + [1]
-    key = mom2d[jnp.array(rows, dtype=jnp.int32)]  # [S+1,N]
-    pm = jnp.sum(w[:, None, :] * key[None, :, :], axis=-1)  # [P,S+1]
-    pm = pm / jnp.where(wsum > 0, wsum, 1.0)[:, None]
+    key = jnp.concatenate([jnp.ones((1, N), lnpi.dtype), mom2d[jnp.array(rows, dtype=jnp.int32)]])  # [S+2,N]
+    pm0 = jnp.sum(w[:, None, :] * key[None, :, :], axis=-1)  # [P,S+2]
+    wsum = pm0[:, 0]
 
+    fe = lnpi[..., 0] - shift - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
+    fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
+
+    pm = pm0[:, 1:] / jnp.where(wsum > 0, wsum, 1.0)[:, None]
     n_i = pm[:, :S]  # [P,S]
     u = pm[:, S]  # [P]
     ntot = jnp.sum(n_i, axis=-1)
