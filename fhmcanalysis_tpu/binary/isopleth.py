@@ -104,15 +104,14 @@ def _source_derivs(h: Hist, meta: HistMeta, mu1_v, beta_target, cutoff, order: i
 
 @partial(jax.jit, static_argnames=("meta", "order"))
 def _grid_eval(
-    lnpi_rw,  # [W, NX, N]   reweighted lnPI per source per mu_1
-    mom_src,  # [W, ...moments..., N]
-    d1,  # [W, NX, S, N]
-    m1,  # [W, NX, S, ...moments...]
-    H,  # [W, NX, S, S, N]
-    Hm,  # [W, NX, S, S, ...moments...]
-    edge_ok,  # [W, NX] bool
-    dmu2_src,  # [W]
-    lr,  # [NY, 2] int bracketing source indices
+    lnpi_b,  # [2, NY, NX, N]       bracketed reweighted lnPI (host pre-gathered)
+    mom_key_b,  # [2, NY, K, N]     key moment rows of the sources
+    d1_b,  # [2, NY, NX, S, N]
+    m1k_b,  # [2, NY, NX, S, K, N]  key rows of the moment Jacobian
+    H_b,  # [2, NY, NX, S, S, N]
+    Hmk_b,  # [2, NY, NX, S, S, K, N]
+    edge_b,  # [2, NY, NX] bool
+    dmu2_b,  # [2, NY]
     wts,  # [NY, 2] mixing weights
     dmu2_v,  # [NY]
     beta_target,
@@ -123,41 +122,42 @@ def _grid_eval(
     order: int,
 ):
     """Stage 2: extrapolate both bracket sources, mix, segment, integrate,
-    pick most stable phase — for every (mu_1, dmu_2) cell at once."""
-    NX = lnpi_rw.shape[1]
-    NY = lr.shape[0]
-    P = meta.max_phases
+    pick most stable phase — for every (mu_1, dmu_2) cell at once.
 
-    def cell(ix, iy):
-        def extrap(src):
+    All bracket selection happens on the HOST (lr comes from bisect in
+    make_grid): inputs arrive pre-gathered with a leading (left,right)
+    axis, and the moment tensors pre-sliced to the nspec+1 key rows —
+    no device gathers (TPU gathers dominated the first version) and
+    ~100x less moment data through the extrapolation einsums."""
+
+    def cell(lnpi2, momk2, d12, m1k2, H2, Hmk2, edge2, dmu22, wt2, dmu2t):
+        def extrap(s):
             xi = jnp.concatenate(
-                [jnp.atleast_1d(beta_target - beta_ref), jnp.atleast_1d(dmu2_v[iy] - dmu2_src[src])]
+                [jnp.atleast_1d(beta_target - beta_ref), jnp.atleast_1d(dmu2t - dmu22[s])]
             )
-            ln = lnpi_rw[src, ix] + jnp.einsum("s,sn->n", xi, d1[src, ix])
-            mm = mom_src[src] + jnp.einsum("s,s...->...", xi, m1[src, ix])
+            ln = lnpi2[s] + jnp.einsum("s,sn->n", xi, d12[s])
+            mk = momk2[s] + jnp.einsum("s,skn->kn", xi, m1k2[s])
             if order >= 2:
-                ln = ln + 0.5 * jnp.einsum("r,rqn,q->n", xi, H[src, ix], xi)
-                mm = mm + 0.5 * jnp.einsum("r,rq...,q->...", xi, Hm[src, ix], xi)
-            return normalize_lnpi(ln), mm
+                ln = ln + 0.5 * jnp.einsum("r,rqn,q->n", xi, H2[s], xi)
+                mk = mk + 0.5 * jnp.einsum("r,rqkn,q->kn", xi, Hmk2[s], xi)
+            return normalize_lnpi(ln), mk
 
-        l = lr[iy, 0]
-        r = lr[iy, 1]
-        lnL, momL = extrap(l)
-        lnR, momR = extrap(r)
-        w0, w1 = wts[iy, 0], wts[iy, 1]
+        lnL, mkL = extrap(0)
+        lnR, mkR = extrap(1)
+        w0, w1 = wt2[0], wt2[1]
         ln_m = (lnL * w0 + lnR * w1) / (w0 + w1)
-        mom_m = (momL * w0 + momR * w1) / (w0 + w1)
+        mk_m = (mkL * w0 + mkR * w1) / (w0 + w1)
 
-        lnpi = normalize_lnpi(ln_m)
-        prob = jnp.exp(lnpi)
-        pt, props = _segment.thermo_core_props(lnpi, prob, mom_m, meta, volume)
+        m = jnp.max(ln_m)
+        e = jnp.exp(ln_m - m)
+        pt, props = _segment.thermo_key_core(ln_m, e, mk_m, meta, volume, shift=m)
 
         stable = jnp.argmin(jnp.where(pt.mask, pt.fe, jnp.inf))
         # is_safe: last maximum at least `cutoff` above the tail
-        ext = _segment.relextrema(lnpi, meta.smooth, P)
+        ext = _segment.relextrema(ln_m, meta.smooth, meta.max_phases)
         last_max = _segment._take_small(ext.maxima, ext.n_max - 1)
-        safe = (_segment._take_small(lnpi, last_max) - lnpi[-1]) >= cutoff
-        ok = pt.valid & safe & edge_ok[l, ix] & edge_ok[r, ix]
+        safe = (_segment._take_small(ln_m, last_max) - ln_m[-1]) >= cutoff
+        ok = pt.valid & safe & edge2[0] & edge2[1]
 
         x1 = _segment._take_small(props["x_i"][:, 0], stable)
         rho = _segment._take_small(props["density"], stable)
@@ -165,8 +165,11 @@ def _grid_eval(
         z = jnp.where(ok, x1, 0.0)
         return z, jnp.where(ok, rho, 0.0), jnp.where(ok, fe, 0.0), ok
 
-    cells = jax.vmap(jax.vmap(cell, in_axes=(None, 0)), in_axes=(0, None))
-    return cells(jnp.arange(NX), jnp.arange(NY))
+    # inner vmap over mu_1 columns (NX), outer over dmu_2 rows (NY):
+    # vmap slicing replaces every per-cell index
+    over_ix = jax.vmap(cell, in_axes=(1, None, 1, 1, 1, 1, 1, None, None, None))
+    over_iy = jax.vmap(over_ix, in_axes=(1, 1, 1, 1, 1, 1, 1, 1, 0, 0))
+    return over_iy(lnpi_b, mom_key_b, d1_b, m1k_b, H_b, Hmk_b, edge_b, dmu2_b, wts, dmu2_v)
 
 
 class isopleth(object):
@@ -259,6 +262,12 @@ class isopleth(object):
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
 
+        # the reference hits this per pixel inside temp_dmu_extrap
+        # (skip_mom=False at gc_binary.pyx:450-452) and print-continues,
+        # leaving every cell invalid; fail fast instead
+        if int(self.data["histograms"][0].data["max_order"]) < self.meta["order"] + 1:
+            raise Exception("Maximum order stored in simulation not high enough to calculate this order of extrapolation")
+
         if mu1_chunk is None:
             src0 = self.data["histograms"][0]
             meta0 = src0._meta()
@@ -280,46 +289,54 @@ class isopleth(object):
         cell evaluation."""
         lr, wts = self._bracket(dmu2_v, m)
 
-        # stage 1: derivatives per (source, mu1)
+        # stage 1: derivatives per (source, mu1), kept ON DEVICE — the
+        # naive version pulled ~full Hessian tensors to numpy and back,
+        # and those transfers dominated the grid time on the TPU tunnel
         mu1_v = np.asarray(mu1_v)
         needed = sorted(set(lr.ravel().tolist()))
-        W = len(self.data["histograms"])
         src0 = self.data["histograms"][0]
         hh0, meta = src0._hist(), src0._meta()
         n = hh0.lnpi.shape[-1]
+        NX = len(mu1_v)
+        kra = _segment.key_row_addresses(meta)
+        kra_j = jnp.array(kra, dtype=jnp.int32)
 
-        lnpi_rw = np.zeros((W, len(mu1_v), n))
-        d1 = np.zeros((W, len(mu1_v), 2, n))
-        m1 = np.zeros((W, len(mu1_v), 2) + meta.mom_shape(n))
-        H = np.zeros((W, len(mu1_v), 2, 2, n))
-        Hm = np.zeros((W, len(mu1_v), 2, 2) + meta.mom_shape(n))
-        edge_ok = np.zeros((W, len(mu1_v)), dtype=bool)
-        mom_src = np.zeros((W,) + meta.mom_shape(n))
-        dmu2_src = np.zeros(W)
+        outs = {}
+        mom_key_w, dmu2_w = {}, {}
         beta_ref = None
-
         for j in needed:
             hj = self.data["histograms"][j]
             hhj = hj._hist()
             if hhj.lnpi.shape[-1] != n:
                 raise Exception("Isopleth source histograms must share the same order-parameter range")
-            out = _source_derivs(hhj, meta, mu1_v, self.meta["beta"], self.meta["cutoff"], self.meta["order"])
-            lnpi_rw[j], d1[j], m1[j], H[j], Hm[j], edge_ok[j] = (np.asarray(o) for o in out)
-            mom_src[j] = np.asarray(hhj.mom)
-            dmu2_src[j] = float(hhj.curr_mu[1] - hhj.curr_mu[0])
+            lnpi_j, d1_j, m1_j, H_j, Hm_j, edge_j = _source_derivs(
+                hhj, meta, mu1_v, self.meta["beta"], self.meta["cutoff"], self.meta["order"]
+            )
+            # slice the moment tensors to the key rows on device (static
+            # indices -> constant gather, compiled once)
+            m1k_j = m1_j.reshape(NX, meta.nspec, meta.n_addr, n)[:, :, kra_j, :]
+            Hmk_j = Hm_j.reshape(NX, meta.nspec, meta.nspec, meta.n_addr, n)[:, :, :, kra_j, :]
+            outs[j] = (lnpi_j, d1_j, m1k_j, H_j, Hmk_j, edge_j)
+            mom_key_w[j] = hhj.mom.reshape(meta.n_addr, n)[kra_j, :]
+            dmu2_w[j] = float(hhj.curr_mu[1] - hhj.curr_mu[0])
             beta_ref = float(hhj.curr_beta)
 
-        # stage 2: all cells at once
+        # stage 2 prep: bracket pre-gather via host-known indices (lr is a
+        # host bisect product) — the device kernel sees zero dynamic indices
+        lrL, lrR = lr[:, 0].tolist(), lr[:, 1].tolist()
+
+        def both(k):
+            return jnp.stack([jnp.stack([outs[j][k] for j in lrL]), jnp.stack([outs[j][k] for j in lrR])])
+
         z, rho, fe, ok = _grid_eval(
-            jnp.asarray(lnpi_rw),
-            jnp.asarray(mom_src),
-            jnp.asarray(d1),
-            jnp.asarray(m1),
-            jnp.asarray(H),
-            jnp.asarray(Hm),
-            jnp.asarray(edge_ok),
-            jnp.asarray(dmu2_src),
-            jnp.asarray(lr),
+            both(0),
+            jnp.stack([jnp.stack([mom_key_w[j] for j in lrL]), jnp.stack([mom_key_w[j] for j in lrR])]),
+            both(1),
+            both(2),
+            both(3),
+            both(4),
+            both(5),
+            jnp.asarray(np.stack([[dmu2_w[j] for j in lrL], [dmu2_w[j] for j in lrR]])),
             jnp.asarray(wts),
             jnp.asarray(dmu2_v),
             self.meta["beta"],
@@ -332,10 +349,10 @@ class isopleth(object):
 
         # meshgrid "xy" convention: rows are dmu2, columns mu1
         return {
-            "Z": np.asarray(z).T,
-            "density": np.asarray(rho).T,
-            "F.E./kT": np.asarray(fe).T,
-            "valid": np.asarray(ok).T,
+            "Z": np.asarray(z),
+            "density": np.asarray(rho),
+            "F.E./kT": np.asarray(fe),
+            "valid": np.asarray(ok),
         }
 
     # the chunked variant of the reference is subsumed by the batched path

@@ -402,20 +402,42 @@ def thermo_core_props(
     still materialize a [B,P,A] buffer per sweep.  Returned PhaseThermo
     has mom_avg == 0 (dead, so XLA elides it when the caller drops it).
     """
+    N = lnpi.shape[-1]
+    mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
+    key = mom2d[jnp.array(key_row_addresses(meta), dtype=jnp.int32)]  # [S+1,N]
+    return thermo_key_core(lnpi, prob, key, meta, volume, complete=complete, shift=shift)
+
+
+def key_row_addresses(meta: HistMeta) -> list:
+    """Flat mom-row addresses of <N_i> (i,1,0,0,0) per species then <U>
+    (0,0,0,0,1) — the rows phase_props reads (gc_hist.pyx:543-552)."""
+    S, M1 = meta.nspec, meta.max_order + 1
+    return [(i * M1 + 1) * S * M1 * M1 for i in range(S)] + [1]
+
+
+def thermo_key_core(
+    lnpi: jax.Array,
+    prob: jax.Array,
+    key: jax.Array,  # [S+1, N] key moment rows (see key_row_addresses)
+    meta: HistMeta,
+    volume,
+    complete: bool = False,
+    shift=0.0,
+) -> tuple[PhaseThermo, dict]:
+    """thermo_core_props given pre-sliced key rows (callers that carry
+    only the key rows through extrapolation — e.g. isopleth grids — avoid
+    moving the full [A,N] tensor entirely)."""
     P = meta.max_phases
     N = lnpi.shape[-1]
+    S = meta.nspec
     idx = jnp.arange(N, dtype=jnp.int32)
     lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete)
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
     w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
 
-    mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
-    S, M1 = meta.nspec, meta.max_order + 1
-    # flat addresses of (i,1,0,0,0) for each species, then (0,0,0,0,1);
     # a leading ones row folds the wsum reduction into the same pass over w
-    rows = [(i * M1 + 1) * S * M1 * M1 for i in range(S)] + [1]
-    key = jnp.concatenate([jnp.ones((1, N), lnpi.dtype), mom2d[jnp.array(rows, dtype=jnp.int32)]])  # [S+2,N]
-    pm0 = jnp.sum(w[:, None, :] * key[None, :, :], axis=-1)  # [P,S+2]
+    key1 = jnp.concatenate([jnp.ones((1, N), lnpi.dtype), key])  # [S+2,N]
+    pm0 = jnp.sum(w[:, None, :] * key1[None, :, :], axis=-1)  # [P,S+2]
     wsum = pm0[:, 0]
 
     fe = lnpi[..., 0] - shift - jnp.log(jnp.where(wsum > 0, wsum, 1.0))

@@ -215,3 +215,12 @@ class TestGibbsDuhem:
         # spline endpoint derivatives are noisy; interior residual must vanish
         assert np.median(np.abs(errs)) < 1e-2
         assert np.max(np.abs(errs)) < 1e-1
+
+
+def test_make_grid_rejects_insufficient_max_order(test_nc):
+    """order=2 moment extrapolation needs max_order >= 3; the reference
+    hits this per pixel inside temp_dmu_extrap (skip_mom=False at
+    gc_binary.pyx:450-452) and leaves every cell invalid — we fail fast."""
+    iso = gcB.isopleth(_sources(test_nc), 1.02, order=2)
+    with pytest.raises(Exception, match="Maximum order"):
+        iso.make_grid((-9.0, -6.0), (-4.9, -4.1), (1.5, 0.4))
