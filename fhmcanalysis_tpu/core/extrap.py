@@ -125,6 +125,56 @@ def temp_dmu_extrap(
     return h.replace(lnpi=normalize_lnpi(lnpi), mom=mom, curr_beta=target_beta, curr_mu=new_mu)
 
 
+def temp_dmu_extrap_key(
+    h: Hist,
+    meta: HistMeta,
+    target_beta,
+    target_dmu,
+    order: int = 1,
+    first_order_mom: bool = False,
+):
+    """Joint (beta, dMu) extrapolation of lnPI plus ONLY the key moment
+    rows (<N_i>, <U> — segment.key_row_addresses).
+
+    Same Taylor series as temp_dmu_extrap, but the moment apply touches
+    nspec+1 of the nspec^2*(mo+1)^3 rows: batched sweep pipelines that
+    only consume phase properties skip ~97% of the extrapolated moment
+    tensor (and the engine's full derivative tensors hoist out of the
+    per-target vmap since they depend only on the source state).
+
+    Returns (lnpi, key_rows) with lnpi UNNORMALIZED — consumers integrate
+    via the shift convention (segment.thermo_key_core).
+    """
+    from .segment import key_row_addresses
+
+    h = h.replace(lnpi=normalize_lnpi(h.lnpi))
+    eng = DerivEngine(h, meta)
+    target_beta = jnp.asarray(target_beta, dtype=h.lnpi.dtype)
+    target_dmu = jnp.asarray(target_dmu, dtype=h.lnpi.dtype)
+    dB = target_beta - h.curr_beta
+    dDmu = target_dmu - _dmu_of(h)
+    xi = jnp.concatenate([dB[None], dDmu])  # [S]
+
+    N = h.lnpi.shape[-1]
+    kra = jnp.array(key_row_addresses(meta), dtype=jnp.int32)
+    S = xi.shape[0]
+
+    d1, m1 = eng.dBMU(False)
+    m1k = m1.reshape((S, meta.n_addr, N))[:, kra, :]  # [S,K,N]
+    lnpi = h.lnpi + jnp.tensordot(xi, d1, axes=1)
+    key = h.mom.reshape(meta.n_addr, N)[kra, :] + jnp.einsum("s,skn->kn", xi, m1k)
+    if order >= 2:
+        H, Hm = eng.dBMU2(False)
+        Hmk = Hm.reshape((S, S, meta.n_addr, N))[:, :, kra, :]
+        lnpi = lnpi + 0.5 * jnp.einsum("r,rqn,q->n", xi, H, xi)
+        if not first_order_mom:
+            key = key + 0.5 * jnp.einsum("r,rqkn,q->kn", xi, Hmk, xi)
+    if order > 2 or order < 1:
+        raise ValueError("No implementation for temperature + dMu extrapolation of order %d" % order)
+
+    return lnpi, key
+
+
 def temp_dmu_extrap_grid(
     h: Hist,
     meta: HistMeta,

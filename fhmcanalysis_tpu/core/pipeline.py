@@ -17,9 +17,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .extrap import temp_dmu_extrap
+from .extrap import temp_dmu_extrap, temp_dmu_extrap_key
 from .ops import reweight
-from .segment import thermo, thermo_core, thermo_core_props, thermo_props
+from .segment import thermo, thermo_core, thermo_core_props, thermo_key_core, thermo_props
 from .state import Hist, HistMeta
 
 __all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_sweep_body", "most_stable_phase"]
@@ -98,10 +98,15 @@ def mu_beta_sweep_body(
 
     def point(mu, beta, dmu):
         hh = reweight(h, mu)
-        hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=not props, first_order_mom=first_order_mom)
         if props:
-            hh, pt, pp = thermo_props(hh, meta)
+            # key-row moment extrapolation: the full-tensor apply was ~6x
+            # the rest of the point cost, and thermo reads nspec+1 rows
+            lnpi, key = temp_dmu_extrap_key(hh, meta, beta, dmu, order=order, first_order_mom=first_order_mom)
+            m = jnp.max(lnpi, axis=-1)
+            e = jnp.exp(lnpi - m[..., None])
+            pt, pp = thermo_key_core(lnpi, e, key, meta, hh.volume, shift=m)
         else:
+            hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True, first_order_mom=first_order_mom)
             (hh, pt), pp = thermo(hh, meta, props=False), None
         out = {"fe": pt.fe, "mask": pt.mask, "n_phases": pt.n_phases, "valid": pt.valid}
         if props:
