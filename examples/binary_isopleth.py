@@ -22,7 +22,9 @@ def main():
         histogram(FIXTURE, 1.0, [5.0, 1.0], smooth=1),  # dMu2 = -4
     ]
 
-    iso = isopleth(sources, beta_target=1.02, order=2)
+    # fixture stores max_order=2, which supports order-1 moment
+    # extrapolation (order 2 needs max_order >= 3 and raises upfront)
+    iso = isopleth(sources, beta_target=1.02, order=1)
     Z, (X, Y) = iso.make_grid((-9.0, -6.0), (-4.9, -4.1), (0.15, 0.08))
     valid = Z > 0
     print("grid %s: %d/%d valid, x1 in [%.4f, %.4f]" % (Z.shape, valid.sum(), Z.size, Z[valid].min(), Z[valid].max()))
@@ -34,7 +36,10 @@ def main():
         target, len(pts), min(p[0] for p in pts), max(p[0] for p in pts)))
 
     # persist + resample
-    iso.dump("isopleth.json")
+    import os
+    import tempfile
+
+    iso.dump(os.path.join(tempfile.mkdtemp(prefix="fhmc_example_"), "isopleth.json"))
     zz, (zx, zy), rho, fe = iso.zoom(2.0, order=1)
     print("zoomed surface:", zz.shape)
 

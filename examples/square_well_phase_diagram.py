@@ -8,6 +8,9 @@ Runs against the bundled miniature simulation tree; swap SRC for a real
 18+-window production tree.
 """
 
+import os
+import tempfile
+
 import numpy as np
 
 import jax
@@ -24,13 +27,16 @@ MU_REF = [2.0, 2.0]
 
 
 def main():
+    out = tempfile.mkdtemp(prefix="fhmc_example_")
+
     # 1. discover, gate on equilibration, patch
     seq = wp.get_patch_sequence(SRC)
-    safe = we.test_nebr_equil(seq, per_err=10.0, fname="maxEq", trust=True)
-    wp.patch_all_windows(safe, "composite.nc", "patch.log", offset=1)
+    safe = we.test_nebr_equil(seq, per_err=10.0, fname=os.path.join(out, "maxEq"), trust=True)
+    composite = os.path.join(out, "composite.nc")
+    wp.patch_all_windows(safe, composite, os.path.join(out, "patch.log"), offset=1)
 
     # 2. load the composite
-    h = histogram("composite.nc", BETA_REF, MU_REF, smooth=1)
+    h = histogram(composite, BETA_REF, MU_REF, smooth=1)
 
     # The bundled miniature tree is single-phase at these conditions (the
     # coexistence objective would sit at its no-coexistence default and

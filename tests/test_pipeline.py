@@ -158,3 +158,23 @@ def test_thermo_core_props_matches_full_tensor(hist):
             assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), (mu, k)
         for f in ("fe", "left", "right", "mask", "n_phases", "valid"):
             assert np.array_equal(np.asarray(getattr(pt_full, f)), np.asarray(getattr(pt_key, f))), (mu, f)
+
+
+def test_temp_dmu_extrap_key_matches_full(hist):
+    """temp_dmu_extrap_key must equal the key rows of the full-tensor
+    extrapolation (same Taylor series, restricted apply)."""
+    from fhmcanalysis_tpu.core import extrap as E
+    from fhmcanalysis_tpu.core import ops, segment as S
+
+    hh, meta = hist._hist(), hist._meta()
+    hh = ops.reweight(hh, 3.5)
+    kra = S.key_row_addresses(meta)
+    n = hh.lnpi.shape[-1]
+    for order, fom in [(1, False), (2, True), (2, False)]:
+        full = E.temp_dmu_extrap(hh, meta, 1.07, jnp.array([-4.7]), order=order, first_order_mom=fom)
+        key_full = np.asarray(full.mom).reshape(meta.n_addr, n)[kra]
+        lnpi_k, key = E.temp_dmu_extrap_key(hh, meta, 1.07, jnp.array([-4.7]), order=order, first_order_mom=fom)
+        assert np.allclose(np.asarray(key), key_full, rtol=0, atol=1e-12), (order, fom)
+        # lnpi is returned unnormalized; must match up to the normalization constant
+        d = np.asarray(full.lnpi) - np.asarray(lnpi_k)
+        assert d.max() - d.min() < 1e-12, (order, fom)
