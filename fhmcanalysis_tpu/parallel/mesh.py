@@ -27,7 +27,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as Psp
 from ..core import pipeline as _pipeline
 from ..core.state import Hist, HistMeta
 
-__all__ = ["grid_mesh", "sharded_mu_beta_sweep", "shard_map_mu_sweep", "replicate", "shard_axis"]
+__all__ = [
+    "grid_mesh",
+    "sharded_mu_beta_sweep",
+    "shard_map_mu_sweep",
+    "sharded_trace_coexistence",
+    "replicate",
+    "shard_axis",
+]
 
 
 def grid_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -89,6 +96,47 @@ def sharded_mu_beta_sweep(
         return out, jnp.min(fe_valid)
 
     return step(h, mu_grid, beta_grid, dmu_grid, meta, order, props)
+
+
+def sharded_trace_coexistence(
+    mesh: Mesh,
+    h: Hist,
+    meta: HistMeta,
+    betas,
+    mu_guess,
+    lnZ_tol: float = 1.0e-5,
+    dmu=None,
+    order: int = 1,
+    min_width: int = 0,
+):
+    """Phase-diagram tracing sharded over the mesh: one on-device
+    Nelder-Mead coexistence solve per temperature, temperatures spread
+    across every chip (both mesh axes flattened).
+
+    This is the multi-chip version of solve.trace_coexistence — the
+    workload of the reference's notebook loops (one serial scipy solve
+    per beta).  The histogram is replicated; each device solves its beta
+    shard independently (solves are embarrassingly parallel — no
+    cross-chip communication until the caller reduces).
+    """
+    from ..core.solve import trace_coexistence
+
+    betas = jnp.atleast_1d(jnp.asarray(betas, dtype=h.lnpi.dtype))
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if betas.shape[0] % n_dev:
+        raise ValueError("beta grid length %d not divisible by %d devices" % (betas.shape[0], n_dev))
+
+    h = replicate(mesh, h)
+    spec = Psp(mesh.axis_names)  # flatten the beta axis over both mesh axes
+    betas = jax.device_put(betas, NamedSharding(mesh, spec))
+
+    @partial(jax.jit, static_argnames=("meta", "order", "min_width"))
+    def step(h, betas, meta, order, min_width):
+        return trace_coexistence(
+            h, meta, betas, mu_guess, lnZ_tol=lnZ_tol, dmu=dmu, order=order, min_width=min_width
+        )
+
+    return step(h, betas, meta, order, min_width)
 
 
 def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool = True):

@@ -103,3 +103,26 @@ def test_trace_coexistence(state):
     # mu_star moves monotonically with beta on this surface
     mus = np.asarray(out["mu_star"])
     assert (np.all(np.diff(mus) < 0)) or (np.all(np.diff(mus) > 0))
+
+
+def test_sharded_trace_matches_single_device(state):
+    """sharded_trace_coexistence over the 8-device virtual mesh must agree
+    with the single-device vmapped trace (replicated hist, beta-sharded)."""
+    from fhmcanalysis_tpu.parallel import grid_mesh, sharded_trace_coexistence
+
+    hh, meta, _ = state
+    betas = np.linspace(0.97, 1.03, 8)
+    want = SV.trace_coexistence(hh, meta, betas, 5.0, lnZ_tol=1e-6, min_width=2)
+    mesh = grid_mesh(8)
+    got = sharded_trace_coexistence(mesh, hh, meta, betas, 5.0, lnZ_tol=1e-6, min_width=2)
+    assert np.asarray(got["converged"]).all()
+    assert np.allclose(np.asarray(got["mu_star"]), np.asarray(want["mu_star"]), rtol=0, atol=1e-9)
+    assert np.allclose(np.asarray(got["density"]), np.asarray(want["density"]), rtol=0, atol=1e-9)
+
+
+def test_sharded_trace_rejects_indivisible(state):
+    from fhmcanalysis_tpu.parallel import grid_mesh, sharded_trace_coexistence
+
+    hh, meta, _ = state
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_trace_coexistence(grid_mesh(8), hh, meta, np.linspace(0.97, 1.03, 7), 5.0)
