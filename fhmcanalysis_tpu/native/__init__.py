@@ -17,53 +17,52 @@ import sysconfig
 
 import numpy as np
 
-__all__ = ["read_table", "loadtxt_unpacked", "NATIVE_AVAILABLE"]
+__all__ = ["read_table", "loadtxt_unpacked", "watershed_native", "NATIVE_AVAILABLE", "IMAGING_AVAILABLE"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BUILD = os.path.join(_HERE, "_build")
 _TAG = "cp%d%d" % sys.version_info[:2]
-_SO = os.path.join(_BUILD, "_fhmc_native_%s.so" % _TAG)
 
-_native = None
+_cache: dict = {}
 
 
-def _compile() -> str | None:
+def _compile(src_name: str, mod_name: str) -> str | None:
     os.makedirs(_BUILD, exist_ok=True)
-    src = os.path.join(_HERE, "fast_table.cpp")
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
-        return _SO
+    src = os.path.join(_HERE, src_name)
+    so = os.path.join(_BUILD, "%s_%s.so" % (mod_name, _TAG))
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
     include_py = sysconfig.get_path("include")
     include_np = np.get_include()
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         "-I", include_py, "-I", include_np,
-        src, "-o", _SO,
+        src, "-o", so,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
         return None
-    return _SO
+    return so
 
 
-def _load():
-    global _native
-    if _native is not None:
-        return _native
-    so = _compile()
+def _load(src_name: str, mod_name: str):
+    if mod_name in _cache:
+        return _cache[mod_name]
+    so = _compile(src_name, mod_name)
     if so is None:
-        _native = False
+        _cache[mod_name] = False
         return False
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location("_fhmc_native", so)
+    spec = importlib.util.spec_from_file_location(mod_name, so)
     try:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
     except Exception:
-        _native = False
+        _cache[mod_name] = False
         return False
-    _native = mod
+    _cache[mod_name] = mod
     return mod
 
 
@@ -72,7 +71,7 @@ def read_table(path: str, comment: str = "#") -> np.ndarray:
 
     Native when available, np.loadtxt otherwise; both reject ragged rows.
     """
-    mod = _load()
+    mod = _load("fast_table.cpp", "_fhmc_native")
     if mod:
         return mod.read_table(path, comment=comment)
     out = np.loadtxt(path, dtype=np.float64, comments=comment, ndmin=2)
@@ -91,4 +90,22 @@ def loadtxt_unpacked(path: str) -> np.ndarray:
     return out
 
 
-NATIVE_AVAILABLE = bool(_load())
+def watershed_native(image, markers, mask, offsets):
+    """Priority-flood watershed (imaging.cpp), or None when no compiler.
+
+    Flood order matches two_dim.imaging.watershed's heapq implementation
+    exactly — the two paths produce bit-identical label maps.
+    """
+    mod = _load("imaging.cpp", "_fhmc_imaging")
+    if not mod:
+        return None
+    return mod.watershed(
+        np.ascontiguousarray(image, dtype=np.float64),
+        np.ascontiguousarray(markers, dtype=np.int64),
+        np.ascontiguousarray(mask, dtype=bool),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+    )
+
+
+NATIVE_AVAILABLE = bool(_load("fast_table.cpp", "_fhmc_native"))
+IMAGING_AVAILABLE = bool(_load("imaging.cpp", "_fhmc_imaging"))

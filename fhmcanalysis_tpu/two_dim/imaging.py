@@ -67,6 +67,10 @@ def watershed(image, markers, mask=None, connectivity=None):
     skimage.morphology.watershed the reference uses (pore_hist.pyx:423).
 
     connectivity may be a footprint array defining the neighborhood.
+
+    Dispatches to the native C++ flood (native/imaging.cpp) when a
+    compiler is available; the Python heapq fallback below is flood-order
+    identical.
     """
     image = np.asarray(image, dtype=np.float64)
     labels = np.array(markers, dtype=np.int64, copy=True)
@@ -83,6 +87,12 @@ def watershed(image, markers, mask=None, connectivity=None):
             offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1) if (i, j) != (0, 0)]
     else:
         offs = _offsets_from_footprint(connectivity)
+
+    from ..native import watershed_native
+
+    native = watershed_native(image, labels, mask, np.asarray(offs, dtype=np.int64))
+    if native is not None:
+        return native
 
     H, W = image.shape
     heap = []

@@ -61,3 +61,47 @@ def test_non_numeric_rejected(tmp_path):
 def test_native_compiled():
     """The toolchain in this environment must produce the native path."""
     assert NATIVE_AVAILABLE
+
+
+class TestNativeWatershed:
+    def test_matches_python_flood(self):
+        """Native priority-flood must be bit-identical to the heapq path."""
+        from fhmcanalysis_tpu.native import IMAGING_AVAILABLE, watershed_native
+        from fhmcanalysis_tpu.two_dim import imaging
+
+        assert IMAGING_AVAILABLE, "g++ is baked into this image; native imaging must build"
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            img = rng.normal(size=(23, 31))
+            markers = np.zeros(img.shape, dtype=np.int64)
+            for lab, (i, j) in enumerate(rng.integers(0, 22, size=(4, 2)), start=1):
+                markers[i, j] = lab
+            mask = rng.random(img.shape) > 0.1
+            mask[markers > 0] = True
+            for conn in (1, 2):
+                got = imaging.watershed(img, markers, mask=mask, connectivity=conn)
+                # force the python fallback for comparison
+                import fhmcanalysis_tpu.native as N
+
+                saved = N._cache.get("_fhmc_imaging")
+                N._cache["_fhmc_imaging"] = False
+                try:
+                    want = imaging.watershed(img, markers, mask=mask, connectivity=conn)
+                finally:
+                    N._cache["_fhmc_imaging"] = saved
+                assert np.array_equal(got, want), (trial, conn)
+
+    def test_pore_segmentation_path(self):
+        """The pore-histogram segmentation flow runs through the native
+        watershed unchanged (same peaks, same label count)."""
+        from fhmcanalysis_tpu.two_dim import imaging
+
+        y, x = np.mgrid[0:30, 0:40]
+        img = np.exp(-((x - 10) ** 2 + (y - 15) ** 2) / 40.0) + np.exp(-((x - 30) ** 2 + (y - 15) ** 2) / 40.0)
+        peaks = imaging.peak_local_max(img, min_distance=3)
+        markers = np.zeros(img.shape, dtype=np.int64)
+        for k, (i, j) in enumerate(peaks, start=1):
+            markers[i, j] = k
+        labels = imaging.watershed(-img, markers)
+        assert set(np.unique(labels)) == {1, 2}
+        assert labels[15, 10] != labels[15, 30]
