@@ -6,6 +6,12 @@ different dMu_2, compute the (mu_1, dMu_2) surface in one batched device
 launch, trace an iso-x1 contour, and check Gibbs-Duhem consistency.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# NB: avoid PYTHONPATH — it breaks axon TPU plugin registration
+
 import numpy as np
 
 from fhmcanalysis_tpu.binary import get_iso, isopleth

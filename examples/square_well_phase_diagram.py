@@ -9,7 +9,12 @@ Runs against the bundled miniature simulation tree; swap SRC for a real
 """
 
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# NB: do NOT use PYTHONPATH for this — on the axon platform any PYTHONPATH
+# value breaks TPU plugin registration (measured 2026-08-16)
 
 import numpy as np
 
