@@ -361,8 +361,12 @@ def thermo_core(
         else:
             mom_rows = mom2d
         # broadcast-multiply-reduce: XLA's f64 dot lowering is ~4x slower
-        # than the fused VPU mul+reduce on TPU, so spell it out.
-        pm_u = jnp.sum(w[:, None, :] * mom_rows[None, :, :], axis=-1)  # [P,U]
+        # than the fused VPU mul+reduce on TPU, so spell it out; multiply
+        # prob*rows once and reduce under the mask (adds only per phase)
+        idx2 = jnp.arange(N, dtype=jnp.int32)
+        in_range = (idx2[None, :] >= lefts[:, None]) & (idx2[None, :] < rights[:, None]) & mask[:, None]
+        pr = prob[None, :] * mom_rows  # [U,N]
+        pm_u = jnp.sum(jnp.where(in_range[:, None, :], pr[None, :, :], 0.0), axis=-1)  # [P,U]
         if dedupe_mom:
             pm = pm_u[:, jnp.array(inverse)]  # [P,A]
         else:
@@ -433,11 +437,14 @@ def thermo_key_core(
     idx = jnp.arange(N, dtype=jnp.int32)
     lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete)
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
-    w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
 
-    # a leading ones row folds the wsum reduction into the same pass over w
+    # a leading ones row folds the wsum reduction into the same pass;
+    # multiply prob*key ONCE ([K,N]) and reduce under the mask with adds
+    # only — the per-phase multiply ([P,K,N]) costs P times more emulated
+    # f64 products for bit-identical sums
     key1 = jnp.concatenate([jnp.ones((1, N), lnpi.dtype), key])  # [S+2,N]
-    pm0 = jnp.sum(w[:, None, :] * key1[None, :, :], axis=-1)  # [P,S+2]
+    pk = prob[None, :] * key1  # [S+2,N]
+    pm0 = jnp.sum(jnp.where(in_range[:, None, :], pk[None, :, :], 0.0), axis=-1)  # [P,S+2]
     wsum = pm0[:, 0]
 
     fe = lnpi[..., 0] - shift - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
