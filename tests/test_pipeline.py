@@ -178,3 +178,18 @@ def test_temp_dmu_extrap_key_matches_full(hist):
         # lnpi is returned unnormalized; must match up to the normalization constant
         d = np.asarray(full.lnpi) - np.asarray(lnpi_k)
         assert d.max() - d.min() < 1e-12, (order, fom)
+
+
+def test_max_phases_padding_invariance(hist):
+    """Results must not depend on the padding width while phase counts
+    fit: bench.py relies on this to run with max_phases=4."""
+    hh = hist._hist()
+    mus = np.linspace(-2.0, 7.0, 128)
+    a = P.mu_sweep_thermo(hh, hist._meta(max_phases=8), mus, props=True)
+    b = P.mu_sweep_thermo(hh, hist._meta(max_phases=4), mus, props=True)
+    assert bool(np.asarray(b["valid"]).all())
+    assert np.array_equal(np.asarray(a["n_phases"]), np.asarray(b["n_phases"]))
+    for k in ("fe", "ntot", "u"):
+        am = np.where(np.asarray(a["mask"][:, :4]), np.asarray(a[k][:, :4]), 0.0)
+        bm = np.where(np.asarray(b["mask"]), np.asarray(b[k]), 0.0)
+        assert np.array_equal(am, bm), k
