@@ -65,6 +65,11 @@ def main():
     out = sweep(mus0)
     jax.block_until_ready(out)
 
+    # every point must fit the max_phases=4 padding (valid=False would
+    # mean garbage fe/mask for that point — fail loudly, not just at the
+    # 8 spot-checked indices)
+    assert bool(np.asarray(out["valid"]).all()), "padding overflow: some points need more than max_phases phases"
+
     # parity spot-check vs the host reference path (<= 1e-8 bar)
     idxs = np.linspace(0, B - 1, 8).astype(int)
     mus_np = np.asarray(mus0)

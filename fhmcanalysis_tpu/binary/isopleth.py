@@ -273,8 +273,15 @@ class isopleth(object):
             meta0 = src0._meta()
             n0 = len(src0.data["ln(PI)"])
             W = len(self.data["histograms"])
-            bytes_per_mu1 = W * meta0.nspec**2 * (meta0.n_addr + 1) * n0 * 8  # Hm + H rows, all sources
-            mu1_chunk = max(8, int(1e9 // max(bytes_per_mu1, 1)))
+            S, K = meta0.nspec, meta0.nspec + 1
+            NY = len(dmu2_v)
+            # stage 1: full Hm + H per source; stage 2: both bracket
+            # copies of (lnpi, d1, key-sliced m1/Hm, H) per dmu2 row —
+            # fine dmu2 grids dominate via the 2*NY bracket duplication
+            stage1 = W * S**2 * (meta0.n_addr + 1) * n0 * 8
+            per_cell = (S * S * n0) + (S * S * K * n0) + (S * n0) + (S * K * n0) + n0
+            stage2 = 2 * NY * per_cell * 8
+            mu1_chunk = max(8, int(1e9 // max(stage1 + stage2, 1)))
 
         cols = []
         for start in range(0, len(mu1_v_full), mu1_chunk):

@@ -94,7 +94,9 @@ def watershed_native(image, markers, mask, offsets):
     """Priority-flood watershed (imaging.cpp), or None when no compiler.
 
     Flood order matches two_dim.imaging.watershed's heapq implementation
-    exactly — the two paths produce bit-identical label maps.
+    exactly — the two paths produce bit-identical label maps.  Elevations
+    must be NaN-free (heap comparators have undefined NaN ordering);
+    two_dim.imaging.watershed normalizes NaN to +inf before calling.
     """
     mod = _load("imaging.cpp", "_fhmc_imaging")
     if not mod:
@@ -107,5 +109,12 @@ def watershed_native(image, markers, mask, offsets):
     )
 
 
-NATIVE_AVAILABLE = bool(_load("fast_table.cpp", "_fhmc_native"))
-IMAGING_AVAILABLE = bool(_load("imaging.cpp", "_fhmc_imaging"))
+def __getattr__(name):
+    # lazy: each extension compiles on first use, not at package import
+    # (a cold g++ run can take seconds and read_table users never need
+    # the watershed module, and vice versa)
+    if name == "NATIVE_AVAILABLE":
+        return bool(_load("fast_table.cpp", "_fhmc_native"))
+    if name == "IMAGING_AVAILABLE":
+        return bool(_load("imaging.cpp", "_fhmc_imaging"))
+    raise AttributeError(name)

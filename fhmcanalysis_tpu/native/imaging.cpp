@@ -55,6 +55,12 @@ PyObject *watershed(PyObject *, PyObject *args) {
     }
 
     const npy_intp H = PyArray_DIM(image, 0), W = PyArray_DIM(image, 1);
+    if (PyArray_DIM(markers, 0) != H || PyArray_DIM(markers, 1) != W ||
+        PyArray_DIM(mask, 0) != H || PyArray_DIM(mask, 1) != W) {
+        PyErr_SetString(PyExc_ValueError, "watershed: image, markers and mask must share the same [H,W]");
+        Py_DECREF(image); Py_DECREF(markers); Py_DECREF(mask); Py_DECREF(offs);
+        return nullptr;
+    }
     const double *img = static_cast<const double *>(PyArray_DATA(image));
     const std::int64_t *mrk = static_cast<const std::int64_t *>(PyArray_DATA(markers));
     const npy_bool *msk = static_cast<const npy_bool *>(PyArray_DATA(mask));

@@ -70,9 +70,13 @@ def watershed(image, markers, mask=None, connectivity=None):
 
     Dispatches to the native C++ flood (native/imaging.cpp) when a
     compiler is available; the Python heapq fallback below is flood-order
-    identical.
+    identical.  NaN elevations are treated as +inf (flood last): both the
+    C++ std::priority_queue comparator and Python tuple comparison have
+    undefined ordering for NaN, so they are normalized away up front.
     """
     image = np.asarray(image, dtype=np.float64)
+    if np.isnan(image).any():
+        image = np.where(np.isnan(image), np.inf, image)
     labels = np.array(markers, dtype=np.int64, copy=True)
     if mask is None:
         mask = np.ones(image.shape, dtype=bool)
