@@ -33,6 +33,7 @@ import scipy.ndimage
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as _Psp
 
 from ..core import ops as _ops
 from ..core import segment as _segment
@@ -251,13 +252,20 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
         Returns (grid_x1, (grid_mu1, grid_dmu2)); failed cells are 0.
         mu1_chunk caps the mu_1 block processed per launch (default: sized
         so the stage-1 Hessian buffers stay within ~1 GB).
+
+        mesh: optional jax.sharding.Mesh — shards the mu_1 axis over every
+        mesh device (the multi-chip version of the reference's
+        production-scale grids, gc_binary.pyx:173-290).  Cells are
+        embarrassingly parallel along mu_1, so the surface is identical to
+        the single-device result; the mu_1 axis is padded per block to the
+        device count and trimmed on return.
         """
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
@@ -285,26 +293,41 @@ class isopleth(object):
 
         cols = []
         for start in range(0, len(mu1_v_full), mu1_chunk):
-            cols.append(self._grid_block(mu1_v_full[start : start + mu1_chunk], dmu2_v, m))
+            cols.append(self._grid_block(mu1_v_full[start : start + mu1_chunk], dmu2_v, m, mesh=mesh))
 
         for key in ("Z", "density", "F.E./kT", "valid"):
             self.data[key] = np.concatenate([c[key] for c in cols], axis=1)
         return self.data["Z"], (self.data["X"], self.data["Y"])
 
-    def _grid_block(self, mu1_v, dmu2_v, m):
+    def _grid_block(self, mu1_v, dmu2_v, m, mesh=None):
         """One mu_1 block of the surface: stage-1 derivatives + stage-2
-        cell evaluation."""
+        cell evaluation.
+
+        With a mesh, mu_1 is sharded over every device (both mesh axes
+        flattened); stage-1 outputs come back sharded along their mu_1
+        axis and stage-2 inputs are pinned to the same layout, so both
+        launches are SPMD over the mesh with zero cross-device
+        communication (cells are independent; XLA inserts nothing but the
+        final output layout)."""
         lr, wts = self._bracket(dmu2_v, m)
 
         # stage 1: derivatives per (source, mu1), kept ON DEVICE — the
         # naive version pulled ~full Hessian tensors to numpy and back,
         # and those transfers dominated the grid time on the TPU tunnel
         mu1_v = np.asarray(mu1_v)
+        nx_out = len(mu1_v)
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            pad = (-len(mu1_v)) % n_dev
+            if pad:
+                mu1_v = np.concatenate([mu1_v, np.full(pad, mu1_v[-1])])
+            spec_x = _Psp(mesh.axis_names)
+            mu1_v = jax.device_put(jnp.asarray(mu1_v), NamedSharding(mesh, spec_x))
         needed = sorted(set(lr.ravel().tolist()))
         src0 = self.data["histograms"][0]
         hh0, meta = src0._hist(), src0._meta()
         n = hh0.lnpi.shape[-1]
-        NX = len(mu1_v)
+        NX = int(mu1_v.shape[0]) if mesh is not None else len(mu1_v)
         kra = _segment.key_row_addresses(meta)
         kra_j = jnp.array(kra, dtype=jnp.int32)
 
@@ -314,6 +337,10 @@ class isopleth(object):
         for j in needed:
             hj = self.data["histograms"][j]
             hhj = hj._hist()
+            if mesh is not None:
+                hhj = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, NamedSharding(mesh, _Psp())), hhj
+                )
             if hhj.lnpi.shape[-1] != n:
                 raise Exception("Isopleth source histograms must share the same order-parameter range")
             lnpi_j, d1_j, m1_j, H_j, Hm_j, edge_j = _source_derivs(
@@ -333,11 +360,21 @@ class isopleth(object):
         lrL, lrR = lr[:, 0].tolist(), lr[:, 1].tolist()
 
         def both(k):
-            return jnp.stack([jnp.stack([outs[j][k] for j in lrL]), jnp.stack([outs[j][k] for j in lrR])])
+            x = jnp.stack([jnp.stack([outs[j][k] for j in lrL]), jnp.stack([outs[j][k] for j in lrR])])
+            if mesh is not None:
+                # pin the mu_1 axis (axis 2 after the [2, NY, ...] stack)
+                x = jax.device_put(x, NamedSharding(mesh, _Psp(None, None, mesh.axis_names)))
+            return x
+
+        mom_key_b = jnp.stack(
+            [jnp.stack([mom_key_w[j] for j in lrL]), jnp.stack([mom_key_w[j] for j in lrR])]
+        )
+        if mesh is not None:
+            mom_key_b = jax.device_put(mom_key_b, NamedSharding(mesh, _Psp()))
 
         z, rho, fe, ok = _grid_eval(
             both(0),
-            jnp.stack([jnp.stack([mom_key_w[j] for j in lrL]), jnp.stack([mom_key_w[j] for j in lrR])]),
+            mom_key_b,
             both(1),
             both(2),
             both(3),
@@ -355,11 +392,12 @@ class isopleth(object):
         )
 
         # meshgrid "xy" convention: rows are dmu2, columns mu1
+        # (mesh path: trim the device-count padding off the mu_1 axis)
         return {
-            "Z": np.asarray(z),
-            "density": np.asarray(rho),
-            "F.E./kT": np.asarray(fe),
-            "valid": np.asarray(ok),
+            "Z": np.asarray(z)[:, :nx_out],
+            "density": np.asarray(rho)[:, :nx_out],
+            "F.E./kT": np.asarray(fe)[:, :nx_out],
+            "valid": np.asarray(ok)[:, :nx_out],
         }
 
     # the chunked variant of the reference is subsumed by the batched path

@@ -3,6 +3,7 @@ from .mesh import (
     replicate,
     shard_axis,
     shard_map_mu_sweep,
+    sharded_make_grid,
     sharded_mu_beta_sweep,
     sharded_trace_coexistence,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "replicate",
     "shard_axis",
     "shard_map_mu_sweep",
+    "sharded_make_grid",
     "sharded_mu_beta_sweep",
     "sharded_trace_coexistence",
 ]

@@ -30,6 +30,7 @@ from ..core.state import Hist, HistMeta
 __all__ = [
     "grid_mesh",
     "sharded_mu_beta_sweep",
+    "sharded_make_grid",
     "shard_map_mu_sweep",
     "sharded_trace_coexistence",
     "replicate",
@@ -137,6 +138,21 @@ def sharded_trace_coexistence(
         )
 
     return step(h, betas, meta, order, min_width)
+
+
+def sharded_make_grid(mesh: Mesh, iso, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None):
+    """Isopleth surface sharded over the mesh: the mu_1 grid axis is split
+    across every device (both mesh axes flattened), each chip evaluating
+    its column block of (reweight -> joint Taylor -> mix -> segment ->
+    most-stable-phase) cells.
+
+    Multi-chip version of the reference's biggest production workload
+    (gc_binary.pyx:173-290 per-pixel grid walk).  Cells are independent
+    along mu_1, so the surface is identical to the single-device
+    isopleth.make_grid; mu_1 blocks are padded to the device count and
+    trimmed on return.
+    """
+    return iso.make_grid(mu1_bounds, dmu2_bounds, delta, m=m, mu1_chunk=mu1_chunk, mesh=mesh)
 
 
 def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool = True):
