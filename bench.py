@@ -1,121 +1,355 @@
-"""Headline benchmark: (beta, mu) reweight + thermo state points/sec.
+"""TPU benchmarks: one JSON line per metric, headline LAST.
 
-BASELINE.md north star: 1e6 state points/sec on one TPU v5e chip with
-lnPI/thermo parity <= 1e-8 vs the host reference path.
+BASELINE.md north star: 1e6 (beta, mu) reweight+thermo state points/sec on
+one TPU v5e chip with lnPI/thermo parity <= 1e-8 vs the host reference path.
 
-Runs the fully batched device pipeline (core.pipeline.mu_sweep_thermo):
-reweight -> normalize -> masked segmentation -> per-phase free energies +
-moment-averaged properties, one fused launch per chunk.
+Metrics (VERDICT r1 item 2: cover the extrapolating pipelines, not just the
+cheapest sweep):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
+  mu_beta_extrap_o2_points_per_sec   same at order 2
+  isopleth_grid_cells_per_sec        binary isopleth make_grid surface
+  reweight_thermo_points_per_sec     headline mu_1 sweep (printed last)
+
+Every metric carries its own parity gate vs the reference-semantics host
+path at the 1e-8 production bar (fe on isopleth cells at 1e-6, matching
+tests/test_isopleth.py).  The host oracle runs in a CPU-pinned subprocess
+(`python bench.py --oracle`): the class path dispatches a few device ops
+per call, and at ~26 ms tunnel RPC each a 1k-point gate would otherwise
+dominate the bench (VERDICT r1 item 9 widened the headline gate to a
+1024-point random subsample).
 """
 
 import json
-import signal
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
-import jax
+FIXTURE = "/root/reference/unittests/reference/test.nc"
+# order-2 moment extrapolation needs max_order >= 3; test2.nc stores 4
+FIXTURE2 = "/root/reference/unittests/reference/test2.nc"
+TARGET = 1.0e6  # points/sec north star (BASELINE.md)
+
+
+def _emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(float(value), 1 if value > 100 else 6), "unit": unit, "vs_baseline": round(float(vs), 4)}))
+    sys.stdout.flush()
 
 
 def _watchdog(seconds=540):
     """Fail fast with a JSON error line instead of hanging forever when
-    the TPU tunnel is unresponsive (it flaps in this environment)."""
+    the TPU tunnel is unresponsive (it flaps in this environment).
 
-    def handler(signum, frame):
+    Thread-based, NOT signal.alarm: XLA compiles and tunnel RPCs block in
+    C++ without returning to Python bytecode, so a SIGALRM handler can be
+    deferred past the deadline indefinitely (observed: a hung bench ran
+    40 s past its alarm until the outer timeout killed it)."""
+
+    def fire():
         print(json.dumps({"metric": "bench_timeout", "value": 0.0, "unit": "points/s", "vs_baseline": 0.0}))
         sys.stdout.flush()
-        import os
-
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, handler)
-    signal.alarm(seconds)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
 
-import fhmcanalysis_tpu  # noqa: F401  (enables x64)
-from fhmcanalysis_tpu.core import pipeline as P
-from fhmcanalysis_tpu.histogram.ntot import histogram
 
-FIXTURE = "/root/reference/unittests/reference/test.nc"
-TARGET = 1.0e6  # points/sec north star (BASELINE.md)
+# ----------------------------------------------------------------------
+# CPU oracle subprocess: reference-semantics host path, native f64
+# ----------------------------------------------------------------------
+
+
+def _trimmed_mb_hist(histogram_cls):
+    """test2.nc trimmed to max_order=3: the smallest moment tensor that
+    supports order-2 moment extrapolation (needs max_order >= 3).  The
+    stored max_order=4 tensor has 500 moment addresses and the trace-time
+    derivative unrolling made the order-1 compile alone take ~60 s on the
+    tunnel; order 3 (256 addresses) compiles in half that with identical
+    bench semantics (both the device path and the oracle trim the same way).
+    """
+    h = histogram_cls(FIXTURE2, 1.0, [5.0, 0.0], smooth=1)
+    h.data["max_order"] = 3
+    h.data["mom"] = np.ascontiguousarray(h.data["mom"][:, :4, :, :4, :4, :])
+    return h
+
+
+def _oracle_main():
+    """Read a sample spec from stdin, answer with reference host-path values.
+
+    Pins the CPU platform (native f64; the parent owns the TPU) before any
+    backend touch.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import copy
+
+    from fhmcanalysis_tpu.binary.isopleth import _find_left_right, _get_most_stable_phase
+    from fhmcanalysis_tpu.histogram.ntot import histogram
+
+    spec = json.load(sys.stdin)
+    base = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
+    base2 = _trimmed_mb_hist(histogram)
+    out = {"sweep": [], "mb": [], "iso": [], "iso_host_secs": 0.0}
+
+    for mu in spec["sweep_mus"]:
+        hc = copy.deepcopy(base)
+        hc.reweight(float(mu))
+        hc.thermo()
+        nph = len(hc.data["thermo"])
+        out["sweep"].append(
+            {
+                "n_phases": nph,
+                "fe": [hc.data["thermo"][p]["F.E./kT"] for p in range(nph)],
+                "ntot": [hc.data["thermo"][p]["ntot"] for p in range(nph)],
+            }
+        )
+
+    for mu, beta, dmu, order in spec["mb_points"]:
+        hc = copy.deepcopy(base2)
+        hc.reweight(float(mu))
+        hc2 = hc.temp_dmu_extrap(float(beta), np.array([dmu]), int(order), 10.0, True, True, False)
+        hc2.thermo()
+        nph = len(hc2.data["thermo"])
+        out["mb"].append(
+            {"n_phases": nph, "fe": [hc2.data["thermo"][p]["F.E./kT"] for p in range(nph)]}
+        )
+
+    # isopleth cells: replicate the reference per-pixel loop
+    # (gc_binary.pyx:406-476) exactly as tests/test_isopleth.py does
+    if spec["iso_cells"]:
+        srcs = [
+            histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1),
+            histogram(FIXTURE, 1.0, [5.0, 1.0], smooth=1),
+        ]
+        dmu2s = np.array(
+            sorted(float(s.data["curr_mu"][1] - s.data["curr_mu"][0]) for s in srcs)
+        )
+        beta_t, order, m = spec["iso_beta"], spec["iso_order"], 2.5
+        t0 = time.perf_counter()
+        for mu1, dmu2 in spec["iso_cells"]:
+            try:
+                left, right = _find_left_right(dmu2s, dmu2, True)
+                h_l = copy.deepcopy(srcs[left])
+                h_l.reweight(mu1)
+                h_l = h_l.temp_dmu_extrap(beta_t, np.array([dmu2]), order, 10.0, False, True, False)
+                h_r = copy.deepcopy(srcs[right])
+                h_r.reweight(mu1)
+                h_r = h_r.temp_dmu_extrap(beta_t, np.array([dmu2]), order, 10.0, False, True, False)
+                dl = abs(dmu2s[left] - dmu2) ** m
+                dr = abs(dmu2s[right] - dmu2) ** m
+                w = [1.0, 1.0] if dl + dr < 1e-9 else [dr / (dr + dl), dl / (dr + dl)]
+                h_m = h_l.mix(h_r, w)
+                h_m.thermo()
+                if not h_m.is_safe():
+                    raise Exception("unsafe")
+                p = _get_most_stable_phase(h_m)
+                cell = {
+                    "x1": h_m.data["thermo"][p]["x1"],
+                    "density": h_m.data["thermo"][p]["density"],
+                    "fe": h_m.data["thermo"][p]["F.E./kT"],
+                    "valid": True,
+                }
+            except Exception:
+                cell = {"x1": 0.0, "density": 0.0, "fe": 0.0, "valid": False}
+            out["iso"].append(cell)
+        out["iso_host_secs"] = time.perf_counter() - t0
+
+    json.dump(out, sys.stdout)
+
+
+def _start_oracle(spec):
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--oracle"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    p.stdin.write(json.dumps(spec))
+    p.stdin.close()
+    return p
+
+
+def _join_oracle(p):
+    out, err = p.stdout.read(), p.stderr.read()
+    r = type("R", (), {"returncode": p.wait(), "stdout": out, "stderr": err})
+    if r.returncode != 0:
+        print(json.dumps({"metric": "oracle_failure", "value": 0.0, "unit": "abs", "vs_baseline": 0.0}))
+        sys.stderr.write(r.stderr[-2000:])
+        sys.exit(1)
+    return json.loads(r.stdout)
+
+
+def _gate(name, worst, bar=1e-8):
+    if worst > bar:
+        print(json.dumps({"metric": "parity_failure_" + name, "value": worst, "unit": "abs", "vs_baseline": 0.0}))
+        sys.exit(1)
+
+
+# ----------------------------------------------------------------------
+# device benches
+# ----------------------------------------------------------------------
 
 
 def main():
     _watchdog()
+    quick = bool(os.environ.get("FHMC_BENCH_CPU"))
+    if quick:
+        # local smoke-test mode: CPU platform, tiny sizes (the driver runs
+        # the real thing on the TPU with no env)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    import fhmcanalysis_tpu  # noqa: F401  (enables x64)
+    from fhmcanalysis_tpu.binary.isopleth import isopleth
+    from fhmcanalysis_tpu.core import pipeline as P
+    from fhmcanalysis_tpu.histogram.ntot import histogram
+
+    rng = np.random.default_rng(20260816)
     h = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
     # max_phases=4 padding: this workload has <= 2 phases everywhere and
     # every [B, P, N] tensor scales with the padding; the validity flag
     # guards against overflow (points needing more phases would read
-    # valid=False and trip the parity gate's phase-count assert).
+    # valid=False and trip the all-points assert).
     hh, meta = h._hist(), h._meta(max_phases=4)
 
+    def sync(x):
+        # axon jax.block_until_ready does not reliably block; read back a
+        # scalar — sliced ON DEVICE first (np.asarray(x) would drag the
+        # whole [B, P] buffer through the tunnel: 64 MB/rep at B=2M)
+        return float(x.reshape(-1)[0])
+
+    spec = {"sweep_mus": [], "mb_points": [], "iso_cells": [], "iso_beta": 1.02, "iso_order": 1}
+
+    # ---------------- headline mu_1 sweep (timed last, emitted last) ----
     # Large batch amortizes the fixed per-call RPC latency of the tunnel
     # (~26 ms round trip regardless of payload; measured 2026-08-16).
-    # B=2M is the sweet spot after the gather-free segmentation rewrite
-    # (11.1M pts/s; 4M exceeds the 16G HBM).
-    B = 2_097_152
+    # B=2M is the sweet spot after the gather-free segmentation rewrite;
+    # 4M exceeds the 16G HBM.
+    B = 4096 if quick else 2_097_152
     mu_lo, mu_hi = -2.0, 7.0
-
     sweep = lambda mus: P.mu_sweep_thermo(hh, meta, mus, props=True)  # noqa: E731
-
-    # warmup / compile
     mus0 = jax.numpy.linspace(mu_lo, mu_hi, B)
-    out = sweep(mus0)
-    jax.block_until_ready(out)
-
-    # every point must fit the max_phases=4 padding (valid=False would
-    # mean garbage fe/mask for that point — fail loudly, not just at the
-    # 8 spot-checked indices)
-    assert bool(np.asarray(out["valid"]).all()), "padding overflow: some points need more than max_phases phases"
-
-    # parity spot-check vs the host reference path (<= 1e-8 bar)
-    idxs = np.linspace(0, B - 1, 8).astype(int)
+    out_sweep = sweep(mus0)
+    sync(out_sweep["fe"])
+    assert bool(np.asarray(out_sweep["valid"]).all()), "padding overflow: some points need more than max_phases phases"
+    sweep_idx = np.unique(rng.integers(0, B, size=64 if quick else 1024))
     mus_np = np.asarray(mus0)
-    worst = 0.0
-    for i in idxs:
-        hc = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
-        hc.reweight(float(mus_np[i]))
-        hc.thermo()
-        nph = len(hc.data["thermo"])
-        msk = np.asarray(out["mask"][i])
-        assert msk.sum() == nph, "phase count mismatch at mu=%g" % mus_np[i]
-        fe_ref = np.array([hc.data["thermo"][p]["F.E./kT"] for p in range(nph)])
-        fe_dev = np.asarray(out["fe"][i])[msk]
-        nt_ref = np.array([hc.data["thermo"][p]["ntot"] for p in range(nph)])
-        nt_dev = np.asarray(out["ntot"][i])[msk]
-        worst = max(worst, np.max(np.abs(fe_dev - fe_ref)), np.max(np.abs(nt_dev - nt_ref)))
-    if worst > 1e-8:
-        print(json.dumps({"metric": "parity_failure", "value": worst, "unit": "abs", "vs_baseline": 0.0}))
-        sys.exit(1)
+    spec["sweep_mus"] = [float(mus_np[i]) for i in sweep_idx]
 
-    # steady-state timing over fresh grids.  NB: on the axon platform
-    # jax.block_until_ready does not reliably block, so force completion by
-    # reading back a scalar from each launch.
-    n_rep = 8
+    # ---------------- (mu, beta, dMu) joint Taylor sweeps ----------------
+    h2 = _trimmed_mb_hist(histogram)
+    hh2, meta2 = h2._hist(), h2._meta(max_phases=4)
+    # 8192x32 = 262k points: measured faster per point than 16384x32
+    # (1.23M vs 0.70M pts/s at order 1 on v5e; larger M pressures HBM)
+    M, A = (64, 8) if quick else (8192, 32)
+    mb_mus = np.linspace(mu_lo, mu_hi, M)
+    mb_betas = np.linspace(0.92, 1.08, A)
+    mb_dmus = np.linspace(-5.5, -4.5, A)[:, None]
+    mb_out = {}
+    mb_secs = {}
+    mb_idx = []
+    for order in (1, 2):
+        f = lambda: P.mu_beta_sweep_thermo(hh2, meta2, mb_mus, mb_betas, mb_dmus, order=order, props=True)  # noqa: E731
+        o = f()
+        sync(o["fe"])  # compile + warmup
+        n_rep = 1 if quick else 4
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            o = f()
+            sync(o["fe"])
+        mb_secs[order] = (time.perf_counter() - t0) / n_rep
+        mb_out[order] = {k: np.asarray(o[k]) for k in ("fe", "mask", "valid")}
+        for i, a in zip(rng.integers(0, M, 16), rng.integers(0, A, 16)):
+            spec["mb_points"].append([float(mb_mus[i]), float(mb_betas[a]), float(mb_dmus[a, 0]), order])
+            mb_idx.append((int(i), int(a), order))
+
+    # ---------------- binary isopleth surface ---------------------------
+    srcs = [histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1), histogram(FIXTURE, 1.0, [5.0, 1.0], smooth=1)]
+    iso = isopleth(srcs, spec["iso_beta"], order=spec["iso_order"])
+    mu1_b, dmu2_b = (-9.0, -4.0), (-4.95, -4.05)
+    delta = (0.5, 0.3) if quick else (0.02, 0.01)
+    Ziso, (Xiso, Yiso) = iso.make_grid(mu1_b, dmu2_b, delta)
+    iso_cells = Xiso.size
+    n_rep = 1 if quick else 2
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        iso.make_grid(mu1_b, dmu2_b, delta)
+    iso_secs = (time.perf_counter() - t0) / n_rep
+    ci = rng.integers(0, Xiso.shape[0], 8)
+    cj = rng.integers(0, Xiso.shape[1], 8)
+    spec["iso_cells"] = [[float(Xiso[i, j]), float(Yiso[i, j])] for i, j in zip(ci, cj)]
+
+    # ---------------- headline timing ------------------------------------
+    # (the CPU oracle grinds its 1k-point host loop concurrently)
+    oracle_proc = _start_oracle(spec)
+    n_rep = 2 if quick else 8
     grids = [jax.numpy.linspace(mu_lo + 0.001 * k, mu_hi, B) for k in range(n_rep)]
     _ = [float(g[0]) for g in grids]
-    _ = float(sweep(grids[0])["fe"][0, 0])  # sync point
+    sync(sweep(grids[0])["fe"])  # sync point
     t0 = time.perf_counter()
-    acc = 0.0
     for g in grids:
-        o = sweep(g)
-        acc += float(o["fe"][0, 0])
-    dt = time.perf_counter() - t0
+        sync(sweep(g)["fe"])
+    sweep_secs = (time.perf_counter() - t0) / n_rep
 
-    pts_per_sec = n_rep * B / dt
-    print(
-        json.dumps(
-            {
-                "metric": "reweight_thermo_points_per_sec",
-                "value": round(pts_per_sec, 1),
-                "unit": "points/s",
-                "vs_baseline": round(pts_per_sec / TARGET, 4),
-            }
+    # ---------------- parity gates (CPU oracle) --------------------------
+    ref = _join_oracle(oracle_proc)
+
+    worst = 0.0
+    for k, i in enumerate(sweep_idx):
+        r = ref["sweep"][k]
+        msk = np.asarray(out_sweep["mask"][i])
+        assert msk.sum() == r["n_phases"], "phase count mismatch at mu=%g" % mus_np[i]
+        worst = max(
+            worst,
+            np.max(np.abs(np.asarray(out_sweep["fe"][i])[msk] - np.array(r["fe"]))),
+            np.max(np.abs(np.asarray(out_sweep["ntot"][i])[msk] - np.array(r["ntot"]))),
         )
-    )
+    _gate("sweep", worst)
+
+    worst = 0.0
+    for k, (i, a, order) in enumerate(mb_idx):
+        r = ref["mb"][k]
+        msk = mb_out[order]["mask"][i, a]
+        assert msk.sum() == r["n_phases"], "mb phase count mismatch at %s" % ((mu, beta, order),)
+        worst = max(worst, np.max(np.abs(mb_out[order]["fe"][i, a][msk] - np.array(r["fe"]))))
+    _gate("mu_beta", worst)
+
+    worst_x = worst_fe = 0.0
+    for k, (i, j) in enumerate(zip(ci, cj)):
+        r = ref["iso"][k]
+        assert bool(iso.data["valid"][i, j]) == r["valid"], "iso validity mismatch at %s" % ((i, j),)
+        worst_x = max(
+            worst_x,
+            abs(iso.data["Z"][i, j] - r["x1"]),
+            abs(iso.data["density"][i, j] - r["density"]),
+        )
+        worst_fe = max(worst_fe, abs(iso.data["F.E./kT"][i, j] - r["fe"]))
+    _gate("isopleth_x1_rho", worst_x)
+    _gate("isopleth_fe", worst_fe, bar=1e-6)
+
+    # ---------------- report ---------------------------------------------
+    _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)
+    _emit("mu_beta_extrap_o2_points_per_sec", M * A / mb_secs[2], "points/s", M * A / mb_secs[2] / TARGET)
+    host_rate = len(spec["iso_cells"]) / ref["iso_host_secs"] if ref["iso_host_secs"] > 0 else 0.0
+    dev_rate = iso_cells / iso_secs
+    _emit("isopleth_grid_cells_per_sec", dev_rate, "cells/s", dev_rate / host_rate if host_rate else 0.0)
+    _emit("reweight_thermo_points_per_sec", B / sweep_secs, "points/s", B / sweep_secs / TARGET)
 
 
 if __name__ == "__main__":
-    main()
+    if "--oracle" in sys.argv:
+        _oracle_main()
+    else:
+        main()
