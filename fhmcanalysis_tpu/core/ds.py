@@ -24,8 +24,11 @@ Bailey double-single add/mul as in the double-double literature.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-F32 = jnp.float32
+# numpy scalars, NOT jnp: jnp.float32(x) builds a device array, which a
+# Pallas kernel closure may not capture (constants must be literals)
+F32 = np.float32
 
 # Veltkamp splitting constant for f32: 2^12 + 1
 _SPLIT = F32(4097.0)
@@ -207,9 +210,73 @@ def ds_exp_shifted(xh, xl):
     from jax import lax
 
     scale = lax.bitcast_convert_type(
-        (n.astype(jnp.int32) + jnp.int32(127)) << jnp.int32(23), F32
+        (n.astype(jnp.int32) + np.int32(127)) << np.int32(23), F32
     )
     return ph * scale, pl * scale
+
+
+# 1/(2k+1) for the atanh series of ds_log, k = 1..10, as (hi, lo) pairs
+# (same rationale as _EXP_COEF: f32-rounded coefficients alone perturb the
+# series by ~1e-10 absolute at |t| ~ 0.17)
+_LOG_COEF = [
+    (F32(0.3333333432674408), F32(-9.934107817051943e-09)),
+    (F32(0.20000000298023224), F32(-2.9802322831459653e-09)),
+    (F32(0.1428571492433548), F32(-6.386212082886934e-09)),
+    (F32(0.1111111119389534), F32(-8.278422770825255e-10)),
+    (F32(0.09090909361839294), F32(-2.7093021365267544e-09)),
+    (F32(0.07692307978868484), F32(-2.8656080874360596e-09)),
+    (F32(0.06666667014360428), F32(-3.4769375556414997e-09)),
+    (F32(0.05882352963089943), F32(-2.1913472439862096e-10)),
+    (F32(0.05263157933950424), F32(-3.9213581877141416e-10)),
+    (F32(0.04761904850602150), F32(-8.869739029323546e-10)),
+]
+
+_SQRT_HALF = F32(0.70710677)  # f32(sqrt(2)/2); fold boundary, any ulp works
+
+
+def ds_log(xh, xl):
+    """Natural log of a positive normal pair (caller guards x > 0).
+
+    Range-reduce x = m * 2^e with m in [sqrt2/2, sqrt2) via exponent-field
+    bit surgery (exact, like the 2^n scale in ds_exp_shifted), then
+    ln m = 2 atanh(t) with t = (m-1)/(m+1), |t| <= 0.1716 — a 10-term odd
+    series in pair arithmetic (truncation ~5e-16 rel), plus e * ln2.
+
+    Accuracy ~2^-47 relative (limited by ds_div in t), i.e. ~1e-14
+    absolute for |ln x| <= 50 — far inside the 1e-8 production bar.
+    """
+    from jax import lax
+
+    bits = lax.bitcast_convert_type(xh, jnp.int32)
+    e = ((bits >> np.int32(23)) & np.int32(0xFF)) - np.int32(126)  # x = m*2^e, m in [0.5,1)
+    mh = lax.bitcast_convert_type(
+        (bits & np.int32(-2139095041)) | (np.int32(126) << np.int32(23)), F32
+    )  # mask 0x807FFFFF keeps sign+mantissa; exponent forced to 2^-1
+    # lo scaled by the exact power 2^-e (e in [-126, 127] for normal hi)
+    scale = lax.bitcast_convert_type((np.int32(127) - e) << np.int32(23), F32)
+    ml = xl * scale
+    small = mh < _SQRT_HALF
+    mh = jnp.where(small, mh + mh, mh)
+    ml = jnp.where(small, ml + ml, ml)
+    e = jnp.where(small, e - 1, e)
+
+    nh, nl = ds_add_f32(mh, ml, F32(-1.0))
+    dh, dl = ds_add_f32(mh, ml, F32(1.0))
+    th, tl = ds_div(nh, nl, dh, dl)
+    t2h, t2l = ds_mul(th, tl, th, tl)
+
+    ph, pl = _LOG_COEF[-1]
+    for ch, cl in _LOG_COEF[-2::-1]:
+        ph, pl = ds_mul(ph, pl, t2h, t2l)
+        ph, pl = ds_add(ph, pl, ch, cl)
+    ph, pl = ds_mul(ph, pl, t2h, t2l)
+    ph, pl = ds_add_f32(ph, pl, F32(1.0))  # p = 1 + t2/3 + t4/5 + ...
+    lh, ll = ds_mul(th, tl, ph, pl)
+    lh, ll = ds_mul_f32(lh, ll, F32(2.0))  # ln m = 2 t p
+
+    ef = e.astype(F32)  # exact: |e| <= 150
+    eh, el = ds_mul_f32(_LN2_HI, _LN2_LO, ef)
+    return ds_add(lh, ll, eh, el)
 
 
 def ds_sum_pairs(xh, xl, axis=0):

@@ -1,0 +1,579 @@
+"""Fused mu-sweep thermo as a Pallas TPU kernel in double-single arithmetic.
+
+The headline pipeline (reweight -> segment -> per-phase integrate;
+reference call stack gc_hist.pyx:268/317-415/451-554) runs entirely in
+(hi, lo) f32-pair arithmetic (`core.ds`, ~49 mantissa bits) inside one
+Pallas kernel: TPU hardware has no f64, XLA emulates it op-by-op at ~42 ms
+per 2M-point normalization stage alone, and Pallas rejects f64 I/O outright.
+
+Layout: the order-parameter axis N lives on SUBLANES (padded to the next
+power of two, pad rows duplicating the last real bin so the clip-mode
+stencil needs no index algebra), state points live on LANES (`block`
+lanes per grid step).  Every op is then a dense [NPAD, block] f32 VPU op;
+per-phase quantities are [1, block] rows combined with static-row python
+loops — no gathers, no dynamic shapes, no transposes.
+
+Range discipline (PERFORMANCE.md §3): pairs keep only the f32 exponent
+range, so exponentials use PER-PHASE max shifts — exp(x - max_of_own_phase)
+<= 1 always, and phases whose mass sits far below the global maximum keep
+full relative precision (a single global shift would clamp them into the
+ds_exp underflow floor).  Free energies read fe_p = x[0] - m_p - log(sum_p)
+which is exactly the reference's -logsumexp(lnpi[seg] - lnpi[0])
+(gc_hist.pyx:523-526) because the global normalization cancels.
+
+Segmentation decisions are exact lexicographic pair compares; they can
+differ from the f64 path only within ~2^-49 relative ties (same risk class
+as the ~48-bit XLA f64 emulation the non-Pallas pipeline already accepts).
+Integer-plateau surfaces compare bit-identically (integers split exactly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ds
+from .segment import key_row_addresses
+from .state import Hist, HistMeta
+
+# np.int32, not a python int: weak int literals trace as i64 scalars
+# under x64 and Mosaic's int64->int32 conversion helper recurses forever
+BIG = np.int32(jnp.iinfo(jnp.int32).max)
+F32 = np.float32  # numpy scalar ctor: Pallas closures may not capture device arrays
+I32 = jnp.int32
+
+__all__ = ["mu_sweep_thermo_ds", "sweep_block_lanes"]
+
+
+def _npad(n: int) -> int:
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
+# ----------------------------------------------------------------------
+# [rows, lanes] building blocks (pure jnp: trace in Pallas AND plain XLA)
+# ----------------------------------------------------------------------
+
+
+def _shift_down_zero(v, k):
+    """Rows shifted down by k (row i reads old row i-k), zero-filled."""
+    return jnp.concatenate([jnp.zeros((k,) + v.shape[1:], v.dtype), v[:-k]], axis=0)
+
+
+def _val_up(v, k):
+    """Row i reads row i+k, clipped at the bottom (pad rows already
+    duplicate the last real bin, so the tail repeat IS clip mode)."""
+    return jnp.concatenate([v[k:], jnp.broadcast_to(v[-1:], (k,) + v.shape[1:])], axis=0)
+
+
+def _val_dn(v, k):
+    """Row i reads row i-k, clipped at row 0."""
+    return jnp.concatenate([jnp.broadcast_to(v[:1], (k,) + v.shape[1:]), v[:-k]], axis=0)
+
+
+def _cumsum_rows(v):
+    """Inclusive cumsum over the sublane axis via log2(NPAD) shift-adds
+    (no lax.cumsum dependence inside Mosaic)."""
+    k = 1
+    while k < v.shape[0]:
+        v = v + _shift_down_zero(v, k)
+        k *= 2
+    return v
+
+
+def _compress_rows(flags, rows, size):
+    """segment._compress_indices in lanes layout: indices (row numbers)
+    where flags is True, ascending, padded with BIG.  Returns (list of
+    [1,L] i32 rows, count [1,L])."""
+    pos = _cumsum_rows(flags.astype(I32)) - 1
+    # dtype pinned: under x64, jnp.sum(int32) accumulates int64, which the
+    # Mosaic lowering rejects outright
+    count = jnp.sum(flags.astype(I32), axis=0, keepdims=True, dtype=I32)
+    out = []
+    for s in range(size):
+        sel = flags & (pos == s)
+        idx = jnp.sum(jnp.where(sel, rows, np.int32(0)), axis=0, keepdims=True, dtype=I32)
+        out.append(jnp.where(s < count, idx, BIG))
+    return out, count
+
+
+def _row_select(rows_list, i, clip=True):
+    """rows_list[i] for a per-lane dynamic scalar index i ([1,L]): one-hot
+    sum over static rows (parity with segment._take_small, incl. clipping)."""
+    n = len(rows_list)
+    if clip:
+        i = jnp.clip(i, np.int32(0), np.int32(n - 1))
+    acc = jnp.zeros_like(rows_list[0])
+    for r in range(n):
+        acc = acc + jnp.where(i == r, rows_list[r], np.int32(0))
+    return acc
+
+
+def _masked_pair_max(xh, xl, m, neg_inf):
+    """Lexicographic pair max of x over rows where m (ds.ds_max_reduce
+    with a mask).  Returns [1,L] pair."""
+    mh = jnp.max(jnp.where(m, xh, neg_inf), axis=0, keepdims=True)
+    ml = jnp.max(jnp.where(m & (xh == mh), xl, neg_inf), axis=0, keepdims=True)
+    return mh, ml
+
+
+def _relextrema_lanes(xh, xl, rows, N, smooth, P):
+    """segment.relextrema (gc_hist.pyx:317-415 parity) in lanes layout.
+
+    Returns dict with maxima (list of P [1,L] rows), minima (P+1 rows),
+    n_max, n_min, valid, plus the global pair max (reused as the default
+    integration shift).
+    """
+    last = np.int32(N - 1)
+    real = rows < N
+    neg_inf = F32(-jnp.inf)
+    pos_inf = F32(jnp.inf)
+
+    is_max = jnp.ones(xh.shape, dtype=bool)
+    is_min = jnp.ones(xh.shape, dtype=bool)
+    for k in range(1, smooth + 1):
+        uh, ul = _val_up(xh, k), _val_up(xl, k)
+        dh, dl = _val_dn(xh, k), _val_dn(xl, k)
+        is_max = is_max & ds.ds_gt(xh, xl, uh, ul) & ds.ds_gt(xh, xl, dh, dl)
+        is_min = is_min & ds.ds_lt(xh, xl, uh, ul) & ds.ds_lt(xh, xl, dh, dl)
+    # pad rows duplicate the last real bin -> strict compares are False
+    # there by construction; the fallback flags below need the mask
+    # (i32-sum "any": jnp.any's reduce_or lowers through an f64 max
+    # reduction in Mosaic under x64, which it then rejects)
+    has_max = jnp.sum(is_max.astype(I32), axis=0, keepdims=True, dtype=I32) > 0
+    has_min = jnp.sum(is_min.astype(I32), axis=0, keepdims=True, dtype=I32) > 0
+    any_ext = has_max | has_min
+
+    gmax_h, gmax_l = _masked_pair_max(xh, xl, real, neg_inf)
+    gmin_h = jnp.min(jnp.where(real, xh, pos_inf), axis=0, keepdims=True)
+    gmin_l = jnp.min(jnp.where(real & (xh == gmin_h), xl, pos_inf), axis=0, keepdims=True)
+
+    # straight-line fallback folded into the flags (gc_hist.pyx:382-386);
+    # boolean algebra, not jnp.where: Mosaic cannot select on i1 vectors
+    # (lowers to an unsupported i8->i1 trunci)
+    fmax = (any_ext & is_max) | (~any_ext & real & (xh == gmax_h) & (xl == gmax_l))
+    fmin = (any_ext & is_min) | (~any_ext & real & (xh == gmin_h) & (xl == gmin_l))
+
+    maxima0, n_max0 = _compress_rows(fmax, rows, P)
+    minima0, n_min0 = _compress_rows(fmin, rows, P + 1)
+
+    max_only = has_max & ~has_min
+    min_only = has_min & ~has_max
+    none_case = ~any_ext
+
+    # --- both-found endpoint rules (gc_hist.pyx:333-351) ---
+    zero_in = (maxima0[0] == 0) | (minima0[0] == 0)
+    pre_min = (~zero_in) & (maxima0[0] < minima0[0])
+    pre_max = (~zero_in) & (maxima0[0] > minima0[0])
+    validB = zero_in | pre_min | pre_max
+    minimaB = [jnp.where(pre_min, jnp.zeros_like(minima0[0]) if r == 0 else minima0[r - 1], minima0[r]) for r in range(P + 1)]
+    n_minB = n_min0 + pre_min.astype(I32)
+    maximaB = [jnp.where(pre_max, jnp.zeros_like(maxima0[0]) if r == 0 else maxima0[r - 1], maxima0[r]) for r in range(P)]
+    n_maxB = n_max0 + pre_max.astype(I32)
+
+    last_mx = _row_select(maximaB, n_maxB - 1)
+    last_mn = _row_select(minimaB, n_minB - 1)
+    last_in = (last_mx == last) | (last_mn == last)
+    app_max = (~last_in) & (last_mx < last_mn)
+    app_min = (~last_in) & (last_mx > last_mn)
+    validB = validB & (last_in | app_max | app_min)
+    maximaB = [jnp.where(app_max & (n_maxB == r), last, maximaB[r]) for r in range(P)]
+    n_maxB = n_maxB + app_max.astype(I32)
+    minimaB = [jnp.where(app_min & (n_minB == r), last, minimaB[r]) for r in range(P + 1)]
+    n_minB = n_minB + app_min.astype(I32)
+
+    # --- merged over-smoothing repair (gc_hist.pyx:352-381) ---
+    big_row = jnp.full_like(maxima0[0], BIG)
+    anchor = [jnp.where(max_only, maxima0[r] if r < P else big_row, minima0[r]) for r in range(P + 1)]
+    n_anchor = jnp.where(max_only, n_max0, n_min0)
+    vh = jnp.where(max_only, xh, -xh)
+    vl = jnp.where(max_only, xl, -xl)
+    gaps = []
+    for g in range(P - 1):
+        in_gap = (rows >= anchor[g]) & (rows < anchor[g + 1])
+        gh = jnp.where(in_gap, vh, pos_inf)
+        gl = jnp.where(in_gap, vl, pos_inf)
+        mh = jnp.min(gh, axis=0, keepdims=True)
+        ml = jnp.min(jnp.where(gh == mh, gl, pos_inf), axis=0, keepdims=True)
+        first = jnp.min(jnp.where((gh == mh) & (gl == ml), rows, BIG), axis=0, keepdims=True)
+        gaps.append(first.astype(I32))
+    filled = []
+    for s in range(P + 1):
+        # full_like, not jnp.where(py_int, py_int): two weak scalars make
+        # an int64 under x64, which Mosaic cannot cast back (infinite
+        # _convert_helper recursion on int64->int32)
+        f = jnp.full_like(maxima0[0], 0 if s == 0 else BIG)
+        if P - 1 > 0 and s >= 1:
+            gv = gaps[min(s - 1, P - 2)]
+            f = jnp.where(s <= n_anchor - 1, gv, f)
+        f = jnp.where(s == n_anchor, last, f)
+        filled.append(f)
+
+    # --- exclusive case selects ---
+    raw_max = max_only | none_case
+    raw_min = min_only | none_case
+    maxima = [jnp.where(min_only, filled[r], jnp.where(raw_max, maxima0[r], maximaB[r])) for r in range(P)]
+    n_max = jnp.where(min_only, n_anchor + 1, jnp.where(raw_max, n_max0, n_maxB))
+    minima = [jnp.where(max_only, filled[r], jnp.where(raw_min, minima0[r], minimaB[r])) for r in range(P + 1)]
+    n_min = jnp.where(max_only, n_anchor + 1, jnp.where(raw_min, n_min0, n_minB))
+    valid = (max_only | min_only | none_case) | validB
+
+    # --- alternation + ordering checks (gc_hist.pyx:402-415) ---
+    valid = valid & (jnp.abs(n_max - n_min) <= 1)
+    valid = valid & (n_max <= P) & (n_min <= P + 1) & (n_max >= 1)
+    max_first = maxima[0] < minima[0]
+    total = n_max + n_min
+    seq = []
+    for t in range(2 * (P + 1)):
+        sm = maxima[min(t // 2, P - 1)]
+        sn = minima[min(t // 2, P)]
+        seq.append(jnp.where(max_first, sm, sn) if t % 2 == 0 else jnp.where(max_first, sn, sm))
+    ok = jnp.ones_like(valid)
+    for t in range(2 * (P + 1) - 1):
+        ok = ok & (~(t + 1 < total) | (seq[t + 1] >= seq[t]))
+    valid = valid & ok
+
+    return {
+        "maxima": maxima,
+        "n_max": n_max,
+        "minima": minima,
+        "n_min": n_min,
+        "valid": valid,
+        "gmax": (gmax_h, gmax_l),
+    }
+
+
+def _phase_bounds_lanes(ext, N, P):
+    """segment.phase_bounds (gc_hist.pyx:498-520 min_ctr walk) in lanes
+    layout: lists of [1,L] lefts/rights/mask rows."""
+    mn = ext["minima"]
+    mx = ext["maxima"]
+    s = mx[0] == 0
+    lefts, rights, mask = [], [], []
+    for p in range(P):
+        left_v = jnp.where(s, mn[0] if p == 0 else mn[p - 1], mn[p])
+        right_v = jnp.where(s, mn[p], mn[p + 1])
+        left = jnp.where(mx[p] > 0, left_v, np.int32(0))
+        right = jnp.where(mx[p] < N - 1, right_v, np.int32(N))
+        right = jnp.where(right == N - 1, np.int32(N), right)
+        lefts.append(left.astype(I32))
+        rights.append(right.astype(I32))
+        mask.append(p < ext["n_max"])
+    return lefts, rights, mask
+
+
+def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, barriers=False):
+    """One block of the fused sweep in lanes layout.  Pure jnp on f32/i32:
+    runs identically inside the Pallas kernel and under plain XLA (the
+    CPU parity tests call it directly).
+
+    ah, al     : [1, L] pair, per-point reweight coefficient beta*(mu-mu0)
+    lnpi_h/l   : [NPAD, 1] pair (pad rows duplicate the last real bin)
+    op         : [NPAD, 1] f32 (exact: integer order-parameter values)
+    keys       : list of (S+1) ([NPAD,1], [NPAD,1]) pairs — <N_i> rows then
+                 <U> (segment.key_row_addresses order)
+    vol_pair   : ([1,1], [1,1]) volume pair
+    barriers   : insert lax.optimization_barrier between pipeline stages.
+                 REQUIRED in plain-XLA mode: without it XLA:CPU's elemental
+                 fusion re-evaluates the whole masked upstream graph (exp +
+                 segmentation) inside every tree-sum level — measured as a
+                 >10-minute "hang" on a 32-point block.  Unnecessary inside
+                 Pallas (Mosaic materializes values in VMEM as written).
+    Returns dict of [1,L]-row lists / [1,L] scalars (see _pack_rows).
+    """
+    brk = lax.optimization_barrier if barriers else (lambda t: t)
+    NPAD = lnpi_h.shape[0]
+    L = ah.shape[-1]
+    rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
+    neg_inf = F32(-jnp.inf)
+
+    # x = lnpi + a*op  (reweight, gc_hist.pyx:71-78 without normalization:
+    # fe/props are shift-invariant, pipeline._point_thermo parity)
+    ph, pe = ds.two_prod(ah, op)  # broadcast [NPAD,1]*[1,L] -> [NPAD,L]
+    pe = pe + al * op
+    aoh, aol = ds.quick_two_sum(ph, pe)
+    xh, xl = ds.ds_add(lnpi_h, lnpi_l + jnp.zeros_like(aol), aoh, aol)
+
+    ext = _relextrema_lanes(xh, xl, rows, N, smooth, P)
+    lefts, rights, mask = _phase_bounds_lanes(ext, N, P)
+
+    # per-phase max shifts; bins outside every phase fall back to the
+    # global max (still <= 0 after the shift, contribute to no sum)
+    gh, gl = ext["gmax"]
+    sh_h = jnp.broadcast_to(gh, (NPAD, L))
+    sh_l = jnp.broadcast_to(gl, (NPAD, L))
+    in_p = []
+    m_p = []
+    for p in range(P):
+        ip = (rows >= lefts[p]) & (rows < rights[p]) & mask[p]
+        mh, ml = _masked_pair_max(xh, xl, ip, neg_inf)
+        sh_h = jnp.where(ip, mh, sh_h)
+        sh_l = jnp.where(ip, ml, sh_l)
+        in_p.append(ip)
+        m_p.append((mh, ml))
+
+    in_p, m_p, sh_h, sh_l = brk((in_p, m_p, sh_h, sh_l))
+    th, tl = ds.ds_sub(xh, xl, sh_h, sh_l)
+    eh, el = brk(ds.ds_exp_shifted(th, tl))
+
+    # prob * key rows once; per-phase masked pair tree sums
+    pks = [(eh, el)]
+    if props:
+        for kh, kl in keys:
+            pks.append(ds.ds_mul(eh, el, kh + jnp.zeros_like(eh), kl + jnp.zeros_like(el)))
+    pks = brk(pks)
+    sums = []  # [P][K+1] of ([1,L],[1,L])
+    for p in range(P):
+        row = []
+        for qh, ql in pks:
+            wh = jnp.where(in_p[p], qh, F32(0.0))
+            wl = jnp.where(in_p[p], ql, F32(0.0))
+            row.append(ds.ds_sum_pairs(wh, wl, axis=0))
+        sums.append(row)
+    sums = brk(sums)
+
+    # fe_p = x[0] - m_p - log(wsum_p)  == -logsumexp(lnpi[seg]-lnpi[0])
+    # (gc_hist.pyx:523-526; the global normalization cancels)
+    x0h, x0l = xh[:1], xl[:1]
+    fe, wpos = [], []
+    for p in range(P):
+        wh, wl = sums[p][0]
+        pos = wh > 0
+        lh, ll = ds.ds_log(jnp.where(pos, wh, F32(1.0)), jnp.where(pos, wl, F32(0.0)))
+        fh, fl = ds.ds_sub(x0h, x0l, m_p[p][0], m_p[p][1])
+        fh, fl = ds.ds_sub(fh, fl, lh, ll)
+        fh = jnp.where(mask[p] & pos, fh, jnp.where(mask[p], F32(jnp.inf), F32(0.0)))
+        fl = jnp.where(mask[p] & pos, fl, F32(0.0))
+        fe.append((fh, fl))
+        wpos.append(pos)
+    fe, wpos = brk((fe, wpos))
+
+    out = {
+        "fe": fe,
+        "left": lefts,
+        "right": rights,
+        "mask": mask,
+        "n_phases": ext["n_max"],
+        "valid": ext["valid"],
+    }
+    if props:
+        S = len(keys) - 1
+        vh, vl = vol_pair
+        n_i, x_i = [], []
+        ntot, u, density = [], [], []
+        for p in range(P):
+            wh, wl = sums[p][0]
+            gwh = jnp.where(wpos[p], wh, F32(1.0))
+            gwl = jnp.where(wpos[p], wl, F32(0.0))
+            ni_p = [ds.ds_div(*sums[p][1 + i], gwh, gwl) for i in range(S)]
+            up = ds.ds_div(*sums[p][1 + S], gwh, gwl)
+            nth, ntl = ni_p[0]
+            for i in range(1, S):
+                nth, ntl = ds.ds_add(nth, ntl, *ni_p[i])
+            nz = nth != 0
+            gnh = jnp.where(nz, nth, F32(1.0))
+            gnl = jnp.where(nz, ntl, F32(0.0))
+            xi_p = [ds.ds_div(*ni_p[i], gnh, gnl) for i in range(S)]
+            dp = ds.ds_div(nth, ntl, vh + jnp.zeros_like(nth), vl + jnp.zeros_like(ntl))
+            n_i.append(ni_p)
+            x_i.append(xi_p)
+            ntot.append((nth, ntl))
+            u.append(up)
+            density.append(dp)
+        out.update({"n_i": n_i, "x_i": x_i, "ntot": ntot, "u": u, "density": density})
+    return out
+
+
+# ----------------------------------------------------------------------
+# output packing: everything is [1, L] rows -> two dense 2-D blocks
+# ----------------------------------------------------------------------
+
+
+def _f_quantities(S, props):
+    if not props:
+        return ["fe"]
+    return ["fe"] + [f"n_i{i}" for i in range(S)] + ["ntot", "u"] + [f"x_i{i}" for i in range(S)] + ["density"]
+
+
+def _pack_rows(out, P, S, props):
+    """Flatten the sweep output dict to (f32 [NRF, L], i32 [NRI, L])."""
+    frows = []
+    for q in _f_quantities(S, props):
+        if q == "fe":
+            pairs = out["fe"]
+        elif q.startswith("n_i"):
+            pairs = [out["n_i"][p][int(q[3:])] for p in range(P)]
+        elif q.startswith("x_i"):
+            pairs = [out["x_i"][p][int(q[3:])] for p in range(P)]
+        else:
+            pairs = out[q]
+        frows += [h for h, _ in pairs] + [l for _, l in pairs]
+    irows = out["left"] + out["right"] + [m.astype(I32) for m in out["mask"]]
+    irows += [out["n_phases"], out["valid"].astype(I32)]
+    return jnp.concatenate(frows, axis=0), jnp.concatenate(irows, axis=0)
+
+
+def _unpack(out_f, out_i, B, P, S, props):
+    """Inverse of _pack_rows on [NR, B] host-side arrays -> f64 dict."""
+    res = {}
+    at = 0
+    for q in _f_quantities(S, props):
+        h, l = out_f[at : at + P], out_f[at + P : at + 2 * P]
+        res[q] = ds.join_f64(h, l).T  # [B, P]
+        at += 2 * P
+    res["left"] = out_i[:P].T
+    res["right"] = out_i[P : 2 * P].T
+    res["mask"] = out_i[2 * P : 3 * P].T.astype(bool)
+    res["n_phases"] = out_i[3 * P]
+    res["valid"] = out_i[3 * P + 1].astype(bool)
+    if props:
+        res["n_i"] = jnp.stack([res.pop(f"n_i{i}") for i in range(S)], axis=-1)  # [B,P,S]
+        res["x_i"] = jnp.stack([res.pop(f"x_i{i}") for i in range(S)], axis=-1)
+    return res
+
+
+# ----------------------------------------------------------------------
+# pallas_call shell
+# ----------------------------------------------------------------------
+
+
+def _kernel(ah_ref, al_ref, cst_ref, out_f_ref, out_i_ref, *, N, NPAD, smooth, P, S, props):
+    lnpi_h, lnpi_l, op, keys, vol_pair = _unpack_cst(cst_ref[:], NPAD, S)
+    out = sweep_block_lanes(
+        ah_ref[0], al_ref[0], lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props
+    )
+    f, i = _pack_rows(out, P, S, props)
+    out_f_ref[0] = f
+    out_i_ref[0] = i
+
+
+def _const_block(h: Hist, meta: HistMeta, NPAD: int):
+    """Pack lnpi/op/key-row pairs + volume into one [(5+2S)*NPAD+..., 1]
+    f32 array (pad rows duplicate the last real bin: clip-mode stencil)."""
+    N = h.lnpi.shape[-1]
+
+    def pad(v):
+        return jnp.concatenate([v, jnp.broadcast_to(v[-1:], (NPAD - N,))]) if NPAD > N else v
+
+    segs = []
+    lh, ll = ds.split_f64(pad(h.lnpi))
+    oph = pad(h.op).astype(F32)  # exact: integer order-parameter values
+    segs += [lh, ll, oph]
+    mom2d = h.mom.reshape(meta.n_addr, N)
+    for a in key_row_addresses(meta):
+        kh, kl = ds.split_f64(pad(mom2d[a]))
+        segs += [kh, kl]
+    vh, vl = ds.split_f64(h.volume.reshape(1))
+    segs += [vh, vl]
+    return jnp.concatenate(segs)[:, None]
+
+
+def _prep(h: Hist, meta: HistMeta, mu_grid, block: int):
+    B = mu_grid.shape[0]
+    N = h.lnpi.shape[-1]
+    NPAD = _npad(N)
+    a = (mu_grid - h.curr_mu[0]) * h.curr_beta  # f64, exact split below
+    nb = -(-B // block)
+    apad = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (nb * block - B,))]) if nb * block != B else a
+    # 3-D (nb, 1, block): Mosaic requires the last two block-shape dims to
+    # equal the array dims (or be 8/128-divisible); (1, block) rows qualify
+    ah, al = ds.split_f64(apad.reshape(nb, 1, block))
+    return ah, al, _const_block(h, meta, NPAD), N, NPAD, nb
+
+
+def _unpack_cst(cst, NPAD, S):
+    lnpi_h = cst[0:NPAD]
+    lnpi_l = cst[NPAD : 2 * NPAD]
+    op = cst[2 * NPAD : 3 * NPAD]
+    keys = [
+        (cst[(3 + 2 * k) * NPAD : (4 + 2 * k) * NPAD], cst[(4 + 2 * k) * NPAD : (5 + 2 * k) * NPAD])
+        for k in range(S + 1)
+    ]
+    vbase = (3 + 2 * (S + 1)) * NPAD
+    return lnpi_h, lnpi_l, op, keys, (cst[vbase : vbase + 1], cst[vbase + 1 : vbase + 2])
+
+
+def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool):
+    """EAGER reference path (CPU tests): the same lanes body op-by-op.
+
+    Deliberately NOT jitted: XLA:CPU's fusion passes blow up on this DAG
+    shape (huge element-wise graph with diamond sharing at every level) —
+    a 32-point block never finished compiling in >10 minutes even with
+    optimization_barrier fences, while eager execution is linear and takes
+    seconds.  Mosaic (the real TPU path) compiles the same body as written.
+    """
+    B = mu_grid.shape[0]
+    P, S = meta.max_phases, meta.nspec
+    ah, al, cst, N, NPAD, _ = _prep(h, meta, mu_grid, block=B)
+    lnpi_h, lnpi_l, op, keys, vol = _unpack_cst(cst, NPAD, S)
+    out = sweep_block_lanes(ah[0], al[0], lnpi_h, lnpi_l, op, keys, vol, N, meta.smooth, P, props)
+    f, i = _pack_rows(out, P, S, props)
+    return _unpack(f, i, B, P, S, props)
+
+
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret"))
+def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, interpret: bool):
+    B = mu_grid.shape[0]
+    P, S = meta.max_phases, meta.nspec
+    ah, al, cst, N, NPAD, nb = _prep(h, meta, mu_grid, block)
+    NRF = 2 * P * len(_f_quantities(S, props))
+    NRI = 3 * P + 2
+    # the pallas tracer adds several Python frames per traced op; this
+    # kernel's ~3k-op body blows the default 1000-frame recursion limit
+    import sys
+
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    # index maps return np.int32 zeros: weak python 0 traces as an i64
+    # constant under x64, and Mosaic rejects i64 in the index-map return
+    Z = np.int32(0)
+    out_f, out_i = pl.pallas_call(
+        partial(_kernel, N=N, NPAD=NPAD, smooth=meta.smooth, P=P, S=S, props=props),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cst.shape, lambda i: (Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NRF, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NRI, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, NRF, block), F32),
+            jax.ShapeDtypeStruct((nb, NRI, block), I32),
+        ],
+        interpret=interpret,
+    )(ah, al, cst)
+    # [nb, NR, block] -> [NR, B]
+    out_f = jnp.moveaxis(out_f, 1, 0).reshape(NRF, nb * block)[:, :B]
+    out_i = jnp.moveaxis(out_i, 1, 0).reshape(NRI, nb * block)[:, :B]
+    return _unpack(out_f, out_i, B, P, S, props)
+
+
+def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int = 512, mode: str | None = None):
+    """Drop-in for pipeline.mu_sweep_thermo running the fused point
+    pipeline as one double-single Pallas kernel (see module docstring).
+
+    mode: "pallas" (compiled kernel, TPU), "xla" (EAGER reference path —
+    CPU tests; see _sweep_ds_xla for why it is not jitted), or
+    "interpret" (pallas interpreter, smoke tests only; minutes-slow to
+    lower).  None auto-selects pallas on TPU, xla elsewhere.  Output dict
+    matches mu_sweep_thermo plus the per-phase property arrays (n_i
+    [B,P,S], ntot/u/density [B,P], x_i [B,P,S]) since the key-row
+    contraction is fused in.
+    """
+    if mode is None:
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    mu_grid = jnp.asarray(mu_grid, dtype=jnp.float64)
+    if mode == "xla":
+        return _sweep_ds_xla(h, meta, mu_grid, props)
+    return _sweep_ds_pallas(h, meta, mu_grid, props, block, mode == "interpret")

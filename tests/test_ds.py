@@ -104,6 +104,26 @@ def test_sum_pairs_vs_f64(rng):
     assert np.max(np.abs(_back(sh, sl) - ref)) < 32 * 2.0**-48
 
 
+def test_log(rng):
+    # the kernel regime: phase probability sums in (exp(-45)*N, N]
+    mag = rng.uniform(-44.0, 4.0, 65536)
+    x = jnp.asarray(np.exp(mag) * (0.5 + rng.random(65536)), dtype=jnp.float64)
+    x = jnp.concatenate([x, jnp.asarray([1.0, 1.0 + 1e-12, 32.0, 2.9e-20, 0.70710677, 0.70710679])])
+    got = _back(*ds.ds_log(*_pair(x)))
+    ref = np.log(np.asarray(x))
+    # absolute bar: |ln x| <= ~101, ds_div limits t to ~2^-47 rel
+    assert np.max(np.abs(got - ref)) < 1e-12
+
+
+def test_log_exp_roundtrip(rng):
+    # fe = x0 - m - log(wsum) consumes ds_log(ds sums of ds_exp); round-trip
+    # error must stay ~1e-13 absolute in the log domain
+    x = jnp.asarray(-rng.random(4096) * 40.0, dtype=jnp.float64)
+    eh, el = ds.ds_exp_shifted(*_pair(x))
+    got = _back(*ds.ds_log(eh, el))
+    assert np.max(np.abs(got - np.asarray(x))) < 1e-12
+
+
 def test_exp_range_rule_documented():
     # the f32 exponent range rule: a +100 argument must NOT be fed to
     # ds_exp_shifted; the clamp only guards the low side.  exp(0) == 1.

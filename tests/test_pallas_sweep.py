@@ -1,0 +1,103 @@
+"""Double-single Pallas sweep vs the XLA f64 pipeline (CPU, interpret mode).
+
+The kernel must reproduce the f64 path's segmentation decisions exactly
+(integer/no-tie surfaces) and its fe/props to pair precision (~1e-12 abs),
+far inside the 1e-8 production bar the TPU bench gates at.
+"""
+
+import numpy as np
+import pytest
+
+from fhmcanalysis_tpu.core import pipeline as P
+from fhmcanalysis_tpu.core.pallas_sweep import mu_sweep_thermo_ds
+from fhmcanalysis_tpu.histogram.ntot import histogram
+
+FIXTURE = "/root/reference/unittests/reference/test.nc"
+
+
+@pytest.fixture(scope="module")
+def fixture_hist():
+    h = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
+    return h._hist(), h._meta(max_phases=4)
+
+
+def _compare(hh, meta, mus, props=True, block=128):
+    got = mu_sweep_thermo_ds(hh, meta, mus, props=props, block=block)
+    want = P.mu_sweep_thermo(hh, meta, mus, props=props)
+    np.testing.assert_array_equal(np.asarray(got["valid"]), np.asarray(want["valid"]))
+    np.testing.assert_array_equal(np.asarray(got["mask"]), np.asarray(want["mask"]))
+    np.testing.assert_array_equal(np.asarray(got["n_phases"]), np.asarray(want["n_phases"]))
+    np.testing.assert_array_equal(np.asarray(got["left"]), np.asarray(want["left"]))
+    np.testing.assert_array_equal(np.asarray(got["right"]), np.asarray(want["right"]))
+    msk = np.asarray(want["mask"])
+    worst = {}
+    gfe, wfe = np.asarray(got["fe"]), np.asarray(want["fe"])
+    worst["fe"] = np.max(np.abs(np.where(msk, gfe - wfe, 0.0)))
+    if props:
+        for k in ("ntot", "u", "density"):
+            worst[k] = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+        for k in ("n_i", "x_i"):
+            worst[k] = np.max(np.abs(np.where(msk[..., None], np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+    for k, v in worst.items():
+        assert v < 1e-10, (k, v)
+
+
+def test_fixture_sweep_parity(fixture_hist):
+    hh, meta = fixture_hist
+    # spans one-phase and two-phase regions plus the coexistence crossing
+    mus = np.linspace(-2.0, 7.0, 509)  # odd: exercises block padding
+    _compare(hh, meta, mus, props=True)
+
+
+def test_fixture_sweep_noprops(fixture_hist):
+    hh, meta = fixture_hist
+    _compare(hh, meta, np.linspace(-1.0, 6.0, 128), props=False)
+
+
+def test_synthetic_surfaces_parity(fixture_hist):
+    """Randomized lnPI shapes (multi-well / monotonic / plateau) through
+    both paths: segmentation decisions and integrals must agree."""
+    hh, meta = fixture_hist
+    rng = np.random.default_rng(11)
+    n = hh.lnpi.shape[-1]
+    x = np.linspace(0.0, 1.0, n)
+    for case in range(6):
+        if case % 3 == 0:
+            y = sum(
+                a * np.exp(-((x - c) ** 2) / w**2)
+                for c, w, a in zip(rng.random(3), 0.05 + 0.2 * rng.random(3), 5 + 30 * rng.random(3))
+            )
+        elif case % 3 == 1:
+            y = np.sort(rng.normal(size=n)) * 10
+        else:
+            y = rng.integers(-3, 4, size=n).astype(float)  # exact-tie plateaus
+        h2 = hh.replace(lnpi=hh.lnpi * 0 + y)
+        _compare(h2, meta, np.linspace(-0.5, 0.5, 64), props=True)
+
+
+# NOTE: no interpret-mode (mode="interpret") test here: pallas interpret
+# runs correctly but leaves a non-daemon thread that wedges interpreter
+# shutdown (measured: a finished 13 s run blocks process exit for minutes),
+# which hangs the pytest session.  The pallas_call shell (BlockSpec
+# indexing, packing) is exercised compiled-on-TPU by bench.py's parity
+# gates and the -m tpu subset instead.
+
+
+def test_max_phases_padding(fixture_hist):
+    """Wider padding slots change nothing but the padded shape."""
+    hh, meta = fixture_hist
+    import dataclasses
+
+    meta8 = dataclasses.replace(meta, max_phases=8)
+    mus = np.linspace(-2.0, 7.0, 96)
+    got4 = mu_sweep_thermo_ds(hh, meta, mus, block=32)
+    got8 = mu_sweep_thermo_ds(hh, meta8, mus, block=32)
+    msk = np.asarray(got4["mask"])
+    np.testing.assert_array_equal(msk, np.asarray(got8["mask"])[:, :4])
+    assert not np.asarray(got8["mask"])[:, 4:].any()
+    np.testing.assert_allclose(
+        np.where(msk, np.asarray(got4["fe"]), 0.0),
+        np.where(msk, np.asarray(got8["fe"])[:, :4], 0.0),
+        rtol=0,
+        atol=1e-13,
+    )
