@@ -25,7 +25,7 @@ from .state import Hist, HistMeta
 __all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_sweep_body", "most_stable_phase"]
 
 
-def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
+def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None):
     """Fused reweight+normalize+thermo for one state point.
 
     Normalization never happens: F.E. and the per-phase moment averages
@@ -46,9 +46,9 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
     m = jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x - m)
     if props:
-        pt, pp = thermo_core_props(x, e, h.mom, meta, h.volume, shift=m[..., 0])
+        pt, pp = thermo_core_props(x, e, h.mom, meta, h.volume, shift=m[..., 0], collect=collect)
     else:
-        pt, pp = thermo_core(x, e, h.mom, meta, props=False, shift=m[..., 0]), None
+        pt, pp = thermo_core(x, e, h.mom, meta, props=False, shift=m[..., 0], collect=collect), None
     out = {
         "fe": pt.fe,
         "mask": pt.mask,
@@ -62,19 +62,22 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool):
     return out
 
 
-def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True):
+def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None):
     """Unjitted body of mu_sweep_thermo; exposed for shard_map drivers."""
-    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props))(jnp.asarray(mu_grid))
+    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props, collect))(jnp.asarray(mu_grid))
 
 
-@partial(jax.jit, static_argnames=("meta", "props"))
-def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True):
+@partial(jax.jit, static_argnames=("meta", "props", "collect"))
+def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None):
     """Reweight + thermo over a 1-D grid of mu_1 values in one launch.
 
     Returns dict of arrays with leading axis len(mu_grid): per-phase padded
     free energies, bounds, masks and (optionally) phase properties.
+
+    collect: optional segment.COLLECT_TRANSFORMS key ("janus") — the
+    batched analog of thermo(collect=...) (gc_hist.pyx:484-486).
     """
-    return mu_sweep_body(h, meta, mu_grid, props)
+    return mu_sweep_body(h, meta, mu_grid, props, collect)
 
 
 def mu_beta_sweep_body(
@@ -86,6 +89,7 @@ def mu_beta_sweep_body(
     order: int = 1,
     props: bool = True,
     first_order_mom: bool = False,
+    collect=None,
 ):
     """Unjitted body of the (mu_1, beta, dMu) product sweep; see
     mu_beta_sweep_thermo.  Exposed so sharded multi-chip drivers can embed
@@ -104,10 +108,10 @@ def mu_beta_sweep_body(
             lnpi, key = temp_dmu_extrap_key(hh, meta, beta, dmu, order=order, first_order_mom=first_order_mom)
             m = jnp.max(lnpi, axis=-1)
             e = jnp.exp(lnpi - m[..., None])
-            pt, pp = thermo_key_core(lnpi, e, key, meta, hh.volume, shift=m)
+            pt, pp = thermo_key_core(lnpi, e, key, meta, hh.volume, shift=m, collect=collect)
         else:
             hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True, first_order_mom=first_order_mom)
-            (hh, pt), pp = thermo(hh, meta, props=False), None
+            (hh, pt), pp = thermo(hh, meta, props=False, collect=collect), None
         out = {"fe": pt.fe, "mask": pt.mask, "n_phases": pt.n_phases, "valid": pt.valid}
         if props:
             out.update(pp)
@@ -117,7 +121,7 @@ def mu_beta_sweep_body(
     return jax.vmap(inner, in_axes=(0, None, None))(mu_grid, beta_grid, dmu_grid)
 
 
-@partial(jax.jit, static_argnames=("meta", "order", "props", "first_order_mom"))
+@partial(jax.jit, static_argnames=("meta", "order", "props", "first_order_mom", "collect"))
 def mu_beta_sweep_thermo(
     h: Hist,
     meta: HistMeta,
@@ -127,6 +131,7 @@ def mu_beta_sweep_thermo(
     order: int = 1,
     props: bool = True,
     first_order_mom: bool = False,
+    collect=None,
 ):
     """Full (mu_1, beta, dMu) product sweep: reweight -> joint Taylor
     extrapolation -> thermo, one launch.
@@ -135,7 +140,7 @@ def mu_beta_sweep_thermo(
     via broadcasting against the grid: every (mu, (beta, dmu)) pair is
     evaluated; returns leading axes [M, A].
     """
-    return mu_beta_sweep_body(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom)
+    return mu_beta_sweep_body(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
 
 
 def most_stable_phase(fe, mask):

@@ -225,6 +225,53 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
     return Extrema(ext.maxima, ext.n_max, ext.minima, ext.n_min, valid)
 
 
+def janus_collect_extrema(ext: Extrema, max_phases: int) -> Extrema:
+    """Device-side janus collect: merge all peaks but the last into one
+    micellar-gas macrophase (collect.py:32-80) as a masked transform.
+
+    Parity with histogram.collect.janus_collect applied between
+    segmentation and the phase-bounds walk (gc_hist.pyx:484-486):
+      * no-op when n_max <= 2 (collect.py:49-50);
+      * new maxima = [round(mean(maxima[:-1])), maxima[-1]] — jnp.round is
+        round-half-even exactly like the reference's python round();
+      * new minima = optional leading 0, then the boundary minima chosen
+        by the reference's last-minimum position cases (collect.py:56-63).
+    The reference asserts len(minima) > 1 in the trailing-minimum case;
+    here that reads as valid=False instead of AssertionError.
+    """
+    P = max_phases
+    slots = jnp.arange(P, dtype=jnp.int32)
+    nm1 = ext.n_max - 1
+    msum = jnp.sum(jnp.where(slots < nm1, ext.maxima, 0))
+    mean = jnp.round(msum / jnp.maximum(nm1, 1).astype(jnp.float64)).astype(jnp.int32)
+    mx_last = _take_small(ext.maxima, nm1)
+    new_max = jnp.where(slots == 0, mean, jnp.where(slots == 1, mx_last, BIG)).astype(jnp.int32)
+
+    lead = ext.minima[0] == 0
+    last_mn = _take_small(ext.minima, ext.n_min - 1)
+    prev_mn = _take_small(ext.minima, ext.n_min - 2)
+    mid = (mean < last_mn) & (last_mn < mx_last)
+    tail = last_mn > mx_last
+
+    new_min = jnp.full(P + 1, BIG, dtype=jnp.int32)
+    cnt = jnp.array(0, jnp.int32)
+    new_min, cnt = _sel(lead, _append_at(new_min, cnt, 0), (new_min, cnt))
+    new_min, cnt = _sel(mid, _append_at(new_min, cnt, last_mn), (new_min, cnt))
+    new_min, cnt = _sel(tail, _append_at(new_min, cnt, prev_mn), (new_min, cnt))
+    new_min, cnt = _sel(tail, _append_at(new_min, cnt, last_mn), (new_min, cnt))
+
+    apply = ext.n_max > 2
+    valid = ext.valid & (~apply | ~tail | (ext.n_min > 1))
+    collected = Extrema(new_max, jnp.array(2, jnp.int32), new_min, cnt, valid)
+    return _sel(apply, collected, Extrema(ext.maxima, ext.n_max, ext.minima, ext.n_min, valid))
+
+
+# static registry for the device pipelines' collect= option; callers may
+# register their own masked Extrema -> Extrema transforms (keyed by name so
+# the option stays a hashable static jit argument)
+COLLECT_TRANSFORMS = {"janus": janus_collect_extrema}
+
+
 def phase_bounds(ext: Extrema, nbins: int, max_phases: int):
     """Integration bounds per phase via the running minima counter.
 
@@ -260,6 +307,7 @@ def thermo(
     props: bool = True,
     complete: bool = False,
     dedupe_mom: bool = True,
+    collect=None,
 ) -> tuple[Hist, PhaseThermo]:
     """Normalize, segment, and integrate per-phase thermodynamics.
 
@@ -280,12 +328,18 @@ def thermo(
     """
     lnpi = normalize_lnpi(h.lnpi)
     h = h.replace(lnpi=lnpi)
-    pt = thermo_core(lnpi, jnp.exp(lnpi), h.mom, meta, props=props, complete=complete, dedupe_mom=dedupe_mom)
+    pt = thermo_core(lnpi, jnp.exp(lnpi), h.mom, meta, props=props, complete=complete, dedupe_mom=dedupe_mom, collect=collect)
     return h, pt
 
 
-def _segment_bounds(lnpi, meta: HistMeta, complete: bool):
-    """Segmentation: padded per-phase bounds + masks."""
+def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None):
+    """Segmentation: padded per-phase bounds + masks.
+
+    collect: optional COLLECT_TRANSFORMS key (e.g. "janus") applied to the
+    extrema between segmentation and the bounds walk — the device analog
+    of the reference's thermo(collect=...) hook (gc_hist.pyx:484-486).
+    Ignored for complete=True (the reference never collects there: the
+    hook reads the extrema index lists that complete-mode skips)."""
     P = meta.max_phases
     N = lnpi.shape[-1]
     if complete:
@@ -296,13 +350,15 @@ def _segment_bounds(lnpi, meta: HistMeta, complete: bool):
         valid = jnp.array(True)
     else:
         ext = relextrema(lnpi, meta.smooth, P)
+        if collect is not None:
+            ext = COLLECT_TRANSFORMS[collect](ext, P)
         lefts, rights, mask = phase_bounds(ext, N, P)
         n_phases = ext.n_max
         valid = ext.valid
     return lefts, rights, mask, n_phases, valid
 
 
-def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0):
+def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, collect=None):
     """Shared segmentation + probability integration.
 
     Returns (lefts, rights, mask, n_phases, valid, w, wsum, fe) where
@@ -318,7 +374,7 @@ def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0):
     """
     N = lnpi.shape[-1]
     idx = jnp.arange(N, dtype=jnp.int32)
-    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete)
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect)
 
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
@@ -339,6 +395,7 @@ def thermo_core(
     complete: bool = False,
     dedupe_mom: bool = True,
     shift=0.0,
+    collect=None,
 ) -> PhaseThermo:
     """Segmentation + integration given normalized lnPI and its exp.
 
@@ -349,7 +406,7 @@ def thermo_core(
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
-    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift)
+    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift, collect)
 
     if props:
         mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
@@ -395,6 +452,7 @@ def thermo_core_props(
     volume,
     complete: bool = False,
     shift=0.0,
+    collect=None,
 ) -> tuple[PhaseThermo, dict]:
     """Segmentation + phase properties WITHOUT the full mom_avg tensor.
 
@@ -409,7 +467,7 @@ def thermo_core_props(
     N = lnpi.shape[-1]
     mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
     key = mom2d[jnp.array(key_row_addresses(meta), dtype=jnp.int32)]  # [S+1,N]
-    return thermo_key_core(lnpi, prob, key, meta, volume, complete=complete, shift=shift)
+    return thermo_key_core(lnpi, prob, key, meta, volume, complete=complete, shift=shift, collect=collect)
 
 
 def key_row_addresses(meta: HistMeta) -> list:
@@ -427,6 +485,7 @@ def thermo_key_core(
     volume,
     complete: bool = False,
     shift=0.0,
+    collect=None,
 ) -> tuple[PhaseThermo, dict]:
     """thermo_core_props given pre-sliced key rows (callers that carry
     only the key rows through extrapolation — e.g. isopleth grids — avoid
@@ -435,7 +494,7 @@ def thermo_key_core(
     N = lnpi.shape[-1]
     S = meta.nspec
     idx = jnp.arange(N, dtype=jnp.int32)
-    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete)
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect)
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
     # a leading ones row folds the wsum reduction into the same pass;
@@ -469,11 +528,11 @@ def thermo_key_core(
     return pt, props
 
 
-def thermo_props(h: Hist, meta: HistMeta, complete: bool = False) -> tuple[Hist, PhaseThermo, dict]:
+def thermo_props(h: Hist, meta: HistMeta, complete: bool = False, collect=None) -> tuple[Hist, PhaseThermo, dict]:
     """normalize + thermo_core_props convenience wrapper."""
     lnpi = normalize_lnpi(h.lnpi)
     h = h.replace(lnpi=lnpi)
-    pt, props = thermo_core_props(lnpi, jnp.exp(lnpi), h.mom, meta, h.volume, complete=complete)
+    pt, props = thermo_core_props(lnpi, jnp.exp(lnpi), h.mom, meta, h.volume, complete=complete, collect=collect)
     return h, pt, props
 
 

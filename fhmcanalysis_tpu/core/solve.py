@@ -38,17 +38,19 @@ def phase_eq_error(
     order: int = 1,
     min_width: int = 0,
     extrapolate: bool = False,
+    collect=None,
 ):
     """Squared F.E./kT gap between the two closest phases at mu_1 = mu_guess.
 
-    Parity: phase_eq_error (gc_hist.pyx:2570-2630).  `extrapolate` is the
-    static analog of the reference's beta/dMu-changed runtime check; with
-    it False, beta/dmu are ignored.
+    Parity: phase_eq_error (gc_hist.pyx:2570-2630, incl. its collect
+    pass-through at :2612).  `extrapolate` is the static analog of the
+    reference's beta/dMu-changed runtime check; with it False, beta/dmu
+    are ignored.
     """
     hh = reweight(h, mu_guess)
     if extrapolate:
         hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True)
-    _, pt = thermo(hh, meta, props=False)
+    _, pt = thermo(hh, meta, props=False, collect=collect)
 
     P = meta.max_phases
     width_ok = ((pt.right - pt.left) >= min_width) & pt.mask
@@ -131,7 +133,7 @@ def nelder_mead_1d(f, x0, xtol: float = 1e-4, ftol: float = 1e-4, maxiter: int =
     return a, fa, it, converged
 
 
-@partial(jax.jit, static_argnames=("meta", "order", "min_width", "extrapolate", "full_mom"))
+@partial(jax.jit, static_argnames=("meta", "order", "min_width", "extrapolate", "full_mom", "collect"))
 def find_phase_eq_state(
     h: Hist,
     meta: HistMeta,
@@ -143,6 +145,7 @@ def find_phase_eq_state(
     min_width: int = 0,
     extrapolate: bool = False,
     full_mom: bool = True,
+    collect=None,
 ):
     """Locate mu_1 at phase coexistence; return the coexistence state.
 
@@ -159,7 +162,8 @@ def find_phase_eq_state(
 
     def obj(mu):
         return phase_eq_error(
-            mu, h, meta, beta=beta, dmu=dmu, order=order, min_width=min_width, extrapolate=extrapolate
+            mu, h, meta, beta=beta, dmu=dmu, order=order, min_width=min_width,
+            extrapolate=extrapolate, collect=collect,
         )
 
     # The objective is (dFE)^2, so meeting |dFE| <= lnZ_tol (the BASELINE
