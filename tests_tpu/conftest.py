@@ -1,0 +1,58 @@
+"""TPU-marked parity subset configuration (VERDICT r1 item 8).
+
+Unlike tests/conftest.py this does NOT pin CPU — these tests exercise the
+real chip at the 1e-8 production parity bar, catching TPU-specific numeric
+regressions (the f32-exponent-range rule, emulated-f64 drift, Mosaic
+lowering changes) outside bench.py.
+
+The axon tunnel flaps, and a downed tunnel HANGS jax calls rather than
+failing them — so availability is probed in a killable subprocess before
+any in-process backend touch, and the whole directory skips cleanly when
+the chip is unreachable.
+
+Run: python -m pytest -m tpu tests_tpu/ -q   (from the repo root)
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_TPU_STATE = {}
+
+
+def _tpu_reachable():
+    if "ok" not in _TPU_STATE:
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", "import jax, jax.numpy as jnp; print(jnp.arange(8.0).sum())"],
+                capture_output=True,
+                timeout=90,
+                text=True,
+                env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+            )
+            _TPU_STATE["ok"] = res.returncode == 0 and "28.0" in res.stdout
+        except subprocess.TimeoutExpired:
+            _TPU_STATE["ok"] = False
+    return _TPU_STATE["ok"]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        item.add_marker(pytest.mark.tpu)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def require_tpu():
+    if not _tpu_reachable():
+        pytest.skip("TPU tunnel unreachable (probe hung or failed)", allow_module_level=False)
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend in this process")
+
+
+@pytest.fixture(scope="session")
+def test_nc():
+    return "/root/reference/unittests/reference/test.nc"

@@ -1,0 +1,117 @@
+"""On-chip parity at the 1e-8 production bar.
+
+The CPU suite proves parity at 1e-12 against NumPy oracles; these tests
+prove the SAME pipelines hold 1e-8 on the real TPU, where f64 is ~48-bit
+emulated and the Pallas kernel runs in double-single f32 pairs.  The host
+reference here is the numpy class path (histogram/ntot.py) — pure numpy,
+so it is exact regardless of the jax backend in this process.
+"""
+
+import numpy as np
+import pytest
+
+import fhmcanalysis_tpu.histogram.ntot as oneDH
+
+BAR = 1e-8
+
+
+@pytest.fixture(scope="module")
+def host(test_nc):
+    return oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
+
+
+@pytest.fixture(scope="module")
+def state(host):
+    return host._hist(), host._meta(max_phases=4)
+
+
+def _host_point(test_nc, mu, beta=None, dmu=None, order=1):
+    hc = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
+    hc.reweight(float(mu))
+    if beta is not None:
+        hc = hc.temp_dmu_extrap(float(beta), np.asarray(dmu), order, override=True)
+    hc.thermo()
+    rows = hc.data["thermo"]
+    return {
+        "fe": np.array([rows[p]["F.E./kT"] for p in range(len(rows))]),
+        "ntot": np.array([rows[p]["ntot"] for p in range(len(rows))]),
+        "n": len(rows),
+    }
+
+
+def test_mu_sweep_parity(state, test_nc):
+    from fhmcanalysis_tpu.core import pipeline as P
+
+    hh, meta = state
+    mus = np.linspace(-2.0, 7.0, 257)
+    out = P.mu_sweep_thermo(hh, meta, mus, props=True)
+    for i in [0, 64, 128, 200, 256]:
+        want = _host_point(test_nc, mus[i])
+        msk = np.asarray(out["mask"][i])
+        assert msk.sum() == want["n"]
+        np.testing.assert_allclose(np.asarray(out["fe"][i])[msk], want["fe"], rtol=0, atol=BAR)
+        np.testing.assert_allclose(np.asarray(out["ntot"][i])[msk], want["ntot"], rtol=0, atol=BAR)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_mu_beta_sweep_parity(state, test_nc, order):
+    from fhmcanalysis_tpu.core import pipeline as P
+
+    hh, meta = state
+    mus = np.linspace(-1.0, 6.0, 9)
+    betas = np.array([0.95, 1.0, 1.06])
+    dmus = np.array([[-4.9], [-5.0], [-5.1]])
+    out = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=order, props=True)
+    for i in [0, 4, 8]:
+        for j in [0, 2]:
+            want = _host_point(test_nc, mus[i], betas[j], dmus[j], order)
+            msk = np.asarray(out["mask"][i, j])
+            assert msk.sum() == want["n"]
+            np.testing.assert_allclose(np.asarray(out["fe"][i, j])[msk], want["fe"], rtol=0, atol=BAR)
+            np.testing.assert_allclose(np.asarray(out["ntot"][i, j])[msk], want["ntot"], rtol=0, atol=BAR)
+
+
+def test_find_phase_eq_converges_on_chip(state, test_nc):
+    from fhmcanalysis_tpu.core import solve as S
+    from fhmcanalysis_tpu.core.segment import thermo
+
+    hh, meta = state
+    lnpi = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0], dtype=float)
+    h2 = hh.replace(lnpi=lnpi)
+    out, mu_star, err, conv = S.find_phase_eq_state(h2, meta, 1e-5, 5.0)
+    assert bool(conv)
+    _, pt = thermo(out, meta, props=False)
+    fe = np.asarray(pt.fe)[np.asarray(pt.mask)]
+    assert len(fe) == 2
+    assert abs(fe[0] - fe[1]) < 1e-3  # the reference test bar (gc_ntot test :293-308)
+    assert abs(float(mu_star) - 5.334351) < 1e-3  # scipy-path value
+
+
+def test_pallas_ds_sweep_matches_xla_on_chip(state):
+    """The double-single Pallas kernel vs the XLA f64 pipeline, both on
+    the chip: segmentation decisions exact, fe/props at the 1e-8 bar."""
+    from fhmcanalysis_tpu.core import pipeline as P
+    from fhmcanalysis_tpu.core.pallas_sweep import mu_sweep_thermo_ds
+
+    hh, meta = state
+    mus = np.linspace(-2.0, 7.0, 2048)
+    got = mu_sweep_thermo_ds(hh, meta, mus, props=True, block=512, mode="pallas")
+    want = P.mu_sweep_thermo(hh, meta, mus, props=True)
+    for k in ("valid", "mask", "n_phases", "left", "right"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+    msk = np.asarray(want["mask"])
+    for k in ("fe", "ntot", "u", "density"):
+        d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+        assert d < BAR, (k, d)
+
+
+def test_exp_range_rule_on_chip():
+    """The platform contract the pipelines are built around: TPU-emulated
+    f64 keeps only the f32 exponent range, so max-shifted exponentials
+    stay finite while naive ones read 0/inf (PERFORMANCE.md rule)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.array([-300.0, -100.0, 0.0]), dtype=jnp.float64)
+    shifted = jnp.exp(x - jnp.max(x))
+    assert np.isfinite(np.asarray(shifted)).all()
+    assert float(jnp.exp(jnp.float64(100.0))) == np.inf  # documented platform limit
