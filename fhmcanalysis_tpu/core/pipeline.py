@@ -25,7 +25,7 @@ from .state import Hist, HistMeta
 __all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_sweep_body", "most_stable_phase"]
 
 
-def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None):
+def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None, seg_f32: bool = False):
     """Fused reweight+normalize+thermo for one state point.
 
     Normalization never happens: F.E. and the per-phase moment averages
@@ -46,9 +46,9 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None):
     m = jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x - m)
     if props:
-        pt, pp = thermo_core_props(x, e, h.mom, meta, h.volume, shift=m[..., 0], collect=collect)
+        pt, pp = thermo_core_props(x, e, h.mom, meta, h.volume, shift=m[..., 0], collect=collect, seg_f32=seg_f32)
     else:
-        pt, pp = thermo_core(x, e, h.mom, meta, props=False, shift=m[..., 0], collect=collect), None
+        pt, pp = thermo_core(x, e, h.mom, meta, props=False, shift=m[..., 0], collect=collect, seg_f32=seg_f32), None
     out = {
         "fe": pt.fe,
         "mask": pt.mask,
@@ -62,13 +62,13 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None):
     return out
 
 
-def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None):
+def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False):
     """Unjitted body of mu_sweep_thermo; exposed for shard_map drivers."""
-    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props, collect))(jnp.asarray(mu_grid))
+    return jax.vmap(lambda mu: _point_thermo(h, meta, mu, props, collect, seg_f32))(jnp.asarray(mu_grid))
 
 
-@partial(jax.jit, static_argnames=("meta", "props", "collect"))
-def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None):
+@partial(jax.jit, static_argnames=("meta", "props", "collect", "seg_f32"))
+def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False):
     """Reweight + thermo over a 1-D grid of mu_1 values in one launch.
 
     Returns dict of arrays with leading axis len(mu_grid): per-phase padded
@@ -76,8 +76,10 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
 
     collect: optional segment.COLLECT_TRANSFORMS key ("janus") — the
     batched analog of thermo(collect=...) (gc_hist.pyx:484-486).
+    seg_f32: opt-in f32 extrema decisions (see segment._segment_bounds —
+    flips only f32-eps ties; fe/props integration stays f64).
     """
-    return mu_sweep_body(h, meta, mu_grid, props, collect)
+    return mu_sweep_body(h, meta, mu_grid, props, collect, seg_f32)
 
 
 def mu_beta_sweep_body(

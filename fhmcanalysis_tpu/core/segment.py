@@ -332,14 +332,24 @@ def thermo(
     return h, pt
 
 
-def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None):
+def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None, seg_f32: bool = False):
     """Segmentation: padded per-phase bounds + masks.
 
     collect: optional COLLECT_TRANSFORMS key (e.g. "janus") applied to the
     extrema between segmentation and the bounds walk — the device analog
     of the reference's thermo(collect=...) hook (gc_hist.pyx:484-486).
     Ignored for complete=True (the reference never collects there: the
-    hook reads the extrema index lists that complete-mode skips)."""
+    hook reads the extrema index lists that complete-mode skips).
+
+    seg_f32: opt-in TPU perf knob — run the extrema stencil compares and
+    repair logic on an f32 cast of lnpi (f64 compares are emulated op-by-
+    op on TPU; ~35 ms of a 2M-point sweep).  Integration bounds are
+    indices, so fe/props stay full precision; decisions can flip ONLY for
+    neighbor bins within f32 eps (~6e-8 relative) of an exact tie, where
+    the reference's own argrelextrema answer is equally arbitrary.  Leave
+    False for 1e-12 oracle parity; surfaces with deliberate exact-tie
+    plateaus (integer lnpi) compare identically either way only when the
+    values are exactly representable in f32."""
     P = meta.max_phases
     N = lnpi.shape[-1]
     if complete:
@@ -349,7 +359,7 @@ def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None):
         n_phases = jnp.array(1, dtype=jnp.int32)
         valid = jnp.array(True)
     else:
-        ext = relextrema(lnpi, meta.smooth, P)
+        ext = relextrema(lnpi.astype(jnp.float32) if seg_f32 else lnpi, meta.smooth, P)
         if collect is not None:
             ext = COLLECT_TRANSFORMS[collect](ext, P)
         lefts, rights, mask = phase_bounds(ext, N, P)
@@ -358,7 +368,7 @@ def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None):
     return lefts, rights, mask, n_phases, valid
 
 
-def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, collect=None):
+def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, collect=None, seg_f32: bool = False):
     """Shared segmentation + probability integration.
 
     Returns (lefts, rights, mask, n_phases, valid, w, wsum, fe) where
@@ -374,7 +384,7 @@ def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, co
     """
     N = lnpi.shape[-1]
     idx = jnp.arange(N, dtype=jnp.int32)
-    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect)
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
 
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
@@ -396,6 +406,7 @@ def thermo_core(
     dedupe_mom: bool = True,
     shift=0.0,
     collect=None,
+    seg_f32: bool = False,
 ) -> PhaseThermo:
     """Segmentation + integration given normalized lnPI and its exp.
 
@@ -406,7 +417,7 @@ def thermo_core(
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
-    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift, collect)
+    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift, collect, seg_f32)
 
     if props:
         mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
@@ -453,6 +464,7 @@ def thermo_core_props(
     complete: bool = False,
     shift=0.0,
     collect=None,
+    seg_f32: bool = False,
 ) -> tuple[PhaseThermo, dict]:
     """Segmentation + phase properties WITHOUT the full mom_avg tensor.
 
@@ -467,7 +479,7 @@ def thermo_core_props(
     N = lnpi.shape[-1]
     mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
     key = mom2d[jnp.array(key_row_addresses(meta), dtype=jnp.int32)]  # [S+1,N]
-    return thermo_key_core(lnpi, prob, key, meta, volume, complete=complete, shift=shift, collect=collect)
+    return thermo_key_core(lnpi, prob, key, meta, volume, complete=complete, shift=shift, collect=collect, seg_f32=seg_f32)
 
 
 def key_row_addresses(meta: HistMeta) -> list:
@@ -486,6 +498,7 @@ def thermo_key_core(
     complete: bool = False,
     shift=0.0,
     collect=None,
+    seg_f32: bool = False,
 ) -> tuple[PhaseThermo, dict]:
     """thermo_core_props given pre-sliced key rows (callers that carry
     only the key rows through extrapolation — e.g. isopleth grids — avoid
@@ -494,7 +507,7 @@ def thermo_key_core(
     N = lnpi.shape[-1]
     S = meta.nspec
     idx = jnp.arange(N, dtype=jnp.int32)
-    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect)
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
     # a leading ones row folds the wsum reduction into the same pass;

@@ -303,3 +303,40 @@ class TestDeviceCollect:
         fe = np.asarray(pt.fe)[np.asarray(pt.mask)]
         assert len(fe) == 2
         assert abs(fe[0] - fe[1]) < 1e-5
+
+
+class TestSegF32:
+    """Opt-in f32 segmentation decisions (VERDICT r1 item 10): identical
+    results away from f32-eps ties, full-precision integration either way."""
+
+    def test_fixture_sweep_identical(self, hist):
+        hh, meta = hist._hist(), hist._meta()
+        mus = np.linspace(-2.0, 7.0, 256)
+        a = P.mu_sweep_thermo(hh, meta, mus, props=True)
+        b = P.mu_sweep_thermo(hh, meta, mus, props=True, seg_f32=True)
+        for k in ("valid", "mask", "n_phases", "left", "right"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        msk = np.asarray(a["mask"])
+        for k in ("fe", "ntot", "u"):
+            # identical bounds -> identical f64 integrals, bitwise
+            np.testing.assert_array_equal(
+                np.where(msk, np.asarray(a[k]), 0.0), np.where(msk, np.asarray(b[k]), 0.0)
+            )
+
+    def test_random_surfaces_mostly_identical(self, hist, rng):
+        """Randomized smooth surfaces: decisions agree except within f32
+        eps of ties (none are expected in a continuous random draw)."""
+        hh, meta = hist._hist(), hist._meta()
+        n = hh.lnpi.shape[-1]
+        x = np.linspace(0, 1, n)
+        mus = np.linspace(4.9, 5.1, 16)
+        for _ in range(5):
+            y = sum(
+                a * np.exp(-((x - c) ** 2) / w)
+                for c, w, a in zip(rng.random(3), 0.003 + 0.01 * rng.random(3), 5 + 20 * rng.random(3))
+            )
+            h2 = hh.replace(lnpi=jnp.asarray(y))
+            a = P.mu_sweep_thermo(h2, meta, mus, props=False)
+            b = P.mu_sweep_thermo(h2, meta, mus, props=False, seg_f32=True)
+            for k in ("valid", "mask", "left", "right"):
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
