@@ -129,14 +129,19 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
       * the two over-smoothing repair branches (:352-381) differ only in
         anchor list and extremum sign, so one merged gap scan serves both.
     """
+    is_max, is_min = stencil_flags(lnpi, smooth)
+    return extrema_from_flags(lnpi, is_max, is_min, max_phases)
+
+
+def stencil_flags(lnpi: jax.Array, smooth: int) -> tuple[jax.Array, jax.Array]:
+    """The strict-compare extremum stencil of relextrema (argrelextrema
+    clip-mode semantics) — split out so sharded long-surface drivers can
+    compute it with halo exchange (parallel/surface.py)."""
     if smooth < 1:
         raise ValueError("smooth must be >= 1 to find relative extrema (scipy argrelextrema rejects order 0 too)")
     N = lnpi.shape[-1]
-    P = max_phases
     idx = jnp.arange(N, dtype=jnp.int32)
     last = N - 1
-
-    # --- stencil detection (strict comparisons, clipped indices) ---
     is_max = jnp.ones(N, dtype=bool)
     is_min = jnp.ones(N, dtype=bool)
     for k in range(1, smooth + 1):
@@ -144,6 +149,16 @@ def relextrema(lnpi: jax.Array, smooth: int, max_phases: int) -> Extrema:
         dn = lnpi[jnp.clip(idx - k, 0, last)]
         is_max = is_max & (lnpi > up) & (lnpi > dn)
         is_min = is_min & (lnpi < up) & (lnpi < dn)
+    return is_max, is_min
+
+
+def extrema_from_flags(lnpi: jax.Array, is_max: jax.Array, is_min: jax.Array, max_phases: int) -> Extrema:
+    """Endpoint/repair/alternation extraction given precomputed stencil
+    flags (the non-stencil 4/5 of relextrema; see relextrema docstring)."""
+    N = lnpi.shape[-1]
+    P = max_phases
+    idx = jnp.arange(N, dtype=jnp.int32)
+    last = N - 1
 
     has_max = jnp.any(is_max)
     has_min = jnp.any(is_min)

@@ -7,6 +7,12 @@ from .mesh import (
     sharded_mu_beta_sweep,
     sharded_trace_coexistence,
 )
+from .surface import (
+    sharded_normalize_2d,
+    sharded_normalize_long,
+    sharded_relextrema,
+    sharded_stencil_flags,
+)
 
 __all__ = [
     "grid_mesh",
@@ -16,4 +22,8 @@ __all__ = [
     "sharded_make_grid",
     "sharded_mu_beta_sweep",
     "sharded_trace_coexistence",
+    "sharded_normalize_2d",
+    "sharded_normalize_long",
+    "sharded_relextrema",
+    "sharded_stencil_flags",
 ]
