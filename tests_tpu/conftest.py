@@ -25,12 +25,16 @@ _TPU_STATE = {}
 def _tpu_reachable():
     if "ok" not in _TPU_STATE:
         try:
+            # inherit the environment UNCHANGED: the preset
+            # PYTHONPATH=/root/.axon_site is itself the axon plugin
+            # registration — stripping or replacing it kills the backend
+            # (the CLAUDE.md "never set PYTHONPATH" rule means never
+            # OVERRIDE it; the preset value must survive)
             res = subprocess.run(
                 [sys.executable, "-c", "import jax, jax.numpy as jnp; print(jnp.arange(8.0).sum())"],
                 capture_output=True,
                 timeout=90,
                 text=True,
-                env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
             )
             _TPU_STATE["ok"] = res.returncode == 0 and "28.0" in res.stdout
         except subprocess.TimeoutExpired:
