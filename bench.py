@@ -6,10 +6,14 @@ one TPU v5e chip with lnPI/thermo parity <= 1e-8 vs the host reference path.
 Metrics (VERDICT r1 item 2: cover the extrapolating pipelines, not just the
 cheapest sweep):
 
+  xla_sweep_points_per_sec           mu_1 sweep, forced XLA-emulated-f64 engine
+  segf32_sweep_points_per_sec        XLA engine + opt-in f32 extrema decisions
   mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
   mu_beta_extrap_o2_points_per_sec   same at order 2
   isopleth_grid_cells_per_sec        binary isopleth make_grid surface
-  reweight_thermo_points_per_sec     headline mu_1 sweep (printed last)
+  reweight_thermo_points_per_sec     headline mu_1 sweep, default engine
+                                     (fused double-single Pallas kernel on
+                                     TPU; printed last)
 
 Every metric carries its own parity gate vs the reference-semantics host
 path at the 1e-8 production bar (fe on isopleth cells at 1e-6, matching
@@ -248,6 +252,45 @@ def main():
     mus_np = np.asarray(mus0)
     spec["sweep_mus"] = [float(mus_np[i]) for i in sweep_idx]
 
+    # ---------------- variant sweeps: forced-XLA + seg_f32 ---------------
+    # The headline (default engine) auto-dispatches to the fused Pallas
+    # double-single kernel on TPU; the forced-XLA path is measured as a
+    # reference metric and cross-checked ON DEVICE (max-abs-diff reduced
+    # to a scalar before readback) — segmentation must agree exactly.
+    import jax.numpy as jnp
+
+    def _dev_worst(a, b, msk):
+        return float(jnp.max(jnp.abs(jnp.where(msk, a - b, 0.0))))
+
+    msk_dev = out_sweep["mask"]
+    variant_metrics = []
+    xf = lambda: P.mu_sweep_thermo(hh, meta, mus0, props=True, engine="xla")  # noqa: E731
+    xo = xf()
+    sync(xo["fe"])
+    xw = max(_dev_worst(xo["fe"], out_sweep["fe"], msk_dev), _dev_worst(xo["ntot"], out_sweep["ntot"], msk_dev))
+    _gate("xla_vs_default", xw)
+    seg_eq = bool(jnp.all((xo["left"] == out_sweep["left"]) & (xo["right"] == out_sweep["right"]) & (xo["mask"] == msk_dev)))
+    assert seg_eq, "XLA and default-engine segmentation diverged"
+    n_rep = 1 if quick else 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        sync(xf()["fe"])
+    x_secs = (time.perf_counter() - t0) / n_rep
+    variant_metrics.append(("xla_sweep_points_per_sec", B / x_secs, "points/s", B / x_secs / TARGET))
+
+    sf = lambda: P.mu_sweep_thermo(hh, meta, mus0, props=True, seg_f32=True)  # noqa: E731
+    so = sf()
+    sync(so["fe"])
+    assert bool(jnp.all((so["left"] == out_sweep["left"]) & (so["right"] == out_sweep["right"]) & (so["mask"] == msk_dev))), "seg_f32 flipped a decision on the fixture workload"
+    _gate("seg_f32", _dev_worst(so["fe"], out_sweep["fe"], msk_dev))
+    # seg_f32 forces the XLA engine; its rate is the XLA path + f32 compares
+    n_rep = 1 if quick else 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        sync(sf()["fe"])
+    sf_secs = (time.perf_counter() - t0) / n_rep
+    variant_metrics.append(("segf32_sweep_points_per_sec", B / sf_secs, "points/s", B / sf_secs / TARGET))
+
     # ---------------- (mu, beta, dMu) joint Taylor sweeps ----------------
     h2 = _trimmed_mb_hist(histogram)
     hh2, meta2 = h2._hist(), h2._meta(max_phases=4)
@@ -340,6 +383,8 @@ def main():
     _gate("isopleth_fe", worst_fe, bar=1e-6)
 
     # ---------------- report ---------------------------------------------
+    for vm in variant_metrics:
+        _emit(*vm)
     _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)
     _emit("mu_beta_extrap_o2_points_per_sec", M * A / mb_secs[2], "points/s", M * A / mb_secs[2] / TARGET)
     host_rate = len(spec["iso_cells"]) / ref["iso_host_secs"] if ref["iso_host_secs"] > 0 else 0.0

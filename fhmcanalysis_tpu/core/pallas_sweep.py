@@ -559,7 +559,17 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
     return _unpack(out_f, out_i, B, P, S, props)
 
 
-def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int = 512, mode: str | None = None):
+def default_block(n_bins: int) -> int:
+    """Lane-block size keeping the [NPAD, block] working set ~2 MB so a
+    few dozen live f32 arrays fit VMEM at any N (fixture N=31 -> 2048)."""
+    npad = _npad(n_bins)
+    b = 128
+    while b < 2048 and npad * b * 2 <= (1 << 19):
+        b *= 2
+    return b
+
+
+def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int | None = None, mode: str | None = None):
     """Drop-in for pipeline.mu_sweep_thermo running the fused point
     pipeline as one double-single Pallas kernel (see module docstring).
 
@@ -573,6 +583,8 @@ def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, blo
     """
     if mode is None:
         mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if block is None:
+        block = default_block(h.lnpi.shape[-1])
     mu_grid = jnp.asarray(mu_grid, dtype=jnp.float64)
     if mode == "xla":
         return _sweep_ds_xla(h, meta, mu_grid, props)

@@ -68,7 +68,14 @@ def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=
 
 
 @partial(jax.jit, static_argnames=("meta", "props", "collect", "seg_f32"))
-def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False):
+def _mu_sweep_thermo_xla(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False):
+    return mu_sweep_body(h, meta, mu_grid, props, collect, seg_f32)
+
+
+_PALLAS_OK: dict = {}  # per-process memo: does the Mosaic kernel compile here?
+
+
+def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False, engine: str = "auto"):
     """Reweight + thermo over a 1-D grid of mu_1 values in one launch.
 
     Returns dict of arrays with leading axis len(mu_grid): per-phase padded
@@ -78,8 +85,30 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
     batched analog of thermo(collect=...) (gc_hist.pyx:484-486).
     seg_f32: opt-in f32 extrema decisions (see segment._segment_bounds —
     flips only f32-eps ties; fe/props integration stays f64).
+    engine: "auto" (default) runs the fused double-single Pallas kernel on
+    TPU — measured 2.1x the XLA-emulated-f64 path on v5e at identical
+    1e-8 parity (segmentation decisions can differ only at ~2^-49 ties,
+    the same class of tie the platform's own ~48-bit f64 already moves) —
+    falling back to XLA off-TPU, for collect/seg_f32 (pallas does not
+    implement them), or if the kernel fails to compile.  "xla"/"pallas"
+    force a path.
     """
-    return mu_sweep_body(h, meta, mu_grid, props, collect, seg_f32)
+    use_pallas = engine == "pallas"
+    if engine == "auto" and collect is None and not seg_f32:
+        if jax.default_backend() == "tpu" and _PALLAS_OK.get("tpu", True):
+            use_pallas = True
+    if use_pallas:
+        from .pallas_sweep import mu_sweep_thermo_ds
+
+        try:
+            out = mu_sweep_thermo_ds(h, meta, jnp.asarray(mu_grid, dtype=jnp.float64), props=props)
+            _PALLAS_OK["tpu"] = True
+            return out
+        except Exception:
+            if engine == "pallas":
+                raise
+            _PALLAS_OK["tpu"] = False  # Mosaic rejected the kernel here: stop retrying
+    return _mu_sweep_thermo_xla(h, meta, mu_grid, props, collect, seg_f32)
 
 
 def mu_beta_sweep_body(
