@@ -44,7 +44,7 @@ def _emit(metric, value, unit, vs):
     sys.stdout.flush()
 
 
-def _watchdog(seconds=540):
+def _watchdog(seconds=760):
     """Fail fast with a JSON error line instead of hanging forever when
     the TPU tunnel is unresponsive (it flaps in this environment).
 
@@ -215,6 +215,15 @@ def main():
 
     import jax
 
+    try:
+        # persistent client-side compile cache: repeat bench runs (driver
+        # retries, tunnel flaps) skip the ~5 min of fresh Mosaic/XLA
+        # compiles that otherwise eat most of the watchdog budget
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     import fhmcanalysis_tpu  # noqa: F401  (enables x64)
     from fhmcanalysis_tpu.binary.isopleth import isopleth
     from fhmcanalysis_tpu.core import pipeline as P
@@ -304,6 +313,8 @@ def main():
     mb_secs = {}
     mb_idx = []
     for order in (1, 2):
+        # default engine: order 1 auto-dispatches to the Pallas kernel on
+        # TPU, order 2 runs XLA — both go through the same oracle gate
         f = lambda: P.mu_beta_sweep_thermo(hh2, meta2, mb_mus, mb_betas, mb_dmus, order=order, props=True)  # noqa: E731
         o = f()
         sync(o["fe"])  # compile + warmup
@@ -317,6 +328,14 @@ def main():
         for i, a in zip(rng.integers(0, M, 16), rng.integers(0, A, 16)):
             spec["mb_points"].append([float(mb_mus[i]), float(mb_betas[a]), float(mb_dmus[a, 0]), order])
             mb_idx.append((int(i), int(a), order))
+    # forced-XLA order-1 reference (the pre-kernel production path)
+    fx = lambda: P.mu_beta_sweep_thermo(hh2, meta2, mb_mus, mb_betas, mb_dmus, order=1, props=True, engine="xla")  # noqa: E731
+    o = fx()
+    sync(o["fe"])
+    t0 = time.perf_counter()
+    for _ in range(1 if quick else 2):
+        sync(fx()["fe"])
+    mb_xla_secs = (time.perf_counter() - t0) / (1 if quick else 2)
 
     # ---------------- binary isopleth surface ---------------------------
     srcs = [histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1), histogram(FIXTURE, 1.0, [5.0, 1.0], smooth=1)]
@@ -385,6 +404,7 @@ def main():
     # ---------------- report ---------------------------------------------
     for vm in variant_metrics:
         _emit(*vm)
+    _emit("mu_beta_extrap_o1_xla_points_per_sec", M * A / mb_xla_secs, "points/s", M * A / mb_xla_secs / TARGET)
     _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)
     _emit("mu_beta_extrap_o2_points_per_sec", M * A / mb_secs[2], "points/s", M * A / mb_secs[2] / TARGET)
     host_rate = len(spec["iso_cells"]) / ref["iso_host_secs"] if ref["iso_host_secs"] > 0 else 0.0

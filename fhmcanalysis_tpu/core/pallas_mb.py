@@ -1,0 +1,365 @@
+"""Fused (mu, beta, dMu)-extrapolating sweep as a Pallas double-single kernel.
+
+The XLA path (pipeline.mu_beta_sweep_thermo) evaluates reweight -> joint
+order-1 Taylor extrapolation (temp_dmu_extrap_key) -> thermo per (mu,
+target) point; its per-point cost is dominated by TPU-emulated f64
+element-wise work — the same profile the plain sweep had before the
+double-single kernel (core/pallas_sweep.py) made it 2.1x faster.
+
+The enabling observation: at order 1 the SEMIGRAND derivative rows of the
+key moments (sg_dX_dB / sg_dX_dMU, gc_hist.pyx:1660-1775) are per-N
+fluctuations of the mom tensor only — independent of the reweight mu — so
+they are precomputed ONCE on the host side of the launch.  Only the
+GRAND-CANONICAL averages <N_i>, <U> in dlnPI/dB and dlnPI/dDmu
+(gc_hist.pyx:2146-2149, 2368-2370) depend on the per-lane mu, and those
+are S+2 masked pair tree-sums per lane — cheap next to the segmentation +
+integration stages the kernel already runs.
+
+Kernel stages per lane (one (mu, beta_t, dmu_t) state point):
+  x  = lnpi + beta_ref (mu - mu_ref) op                  (reweight)
+  e  = ds_exp(x - max)   -> S0, S_{N_i}, S_U             (GC averages)
+  d1B = sum_i dmuref_i (N_i - <N_i>) + mu (op - <N_tot>) - (U - <U>)
+  d1M_q = beta_ref (N_{q+1} - <N_{q+1}>)
+  x' = x + dB d1B + sum_q dDmu_q d1M_q                   (Taylor apply)
+  key'_k = key_k + dB dkeydB_k + sum_q dDmu_q dkeydMU_qk (precomputed rows)
+  thermo_lanes(x', key')                                 (shared stage)
+
+Everything is (hi, lo) f32-pair arithmetic: d1B magnitudes reach
+|mu|*op ~ 150, so plain f32 would inject ~1e-5 * dB ~ 1e-6 into x' — far
+outside the 1e-8 bar; pairs keep it at ~2^-49 relative.
+
+Order 2 falls back to the XLA path (its Hessian needs the full
+gc_dX_dB fluctuation chains per lane — a future extension).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ds
+from .derivs import DerivEngine
+from .pallas_sweep import (
+    F32,
+    I32,
+    _f_quantities,
+    _npad,
+    _pack_rows,
+    _unpack,
+    default_block,
+    thermo_lanes,
+)
+from .state import Hist, HistMeta
+
+__all__ = ["mu_beta_sweep_thermo_ds"]
+
+
+def _key_addrs(meta: HistMeta):
+    """Tuple addresses of the key rows in segment.key_row_addresses order:
+    <N_i> per species then <U> (gc_hist.pyx:543-552)."""
+    return [(i, 1, 0, 0, 0) for i in range(meta.nspec)] + [(0, 0, 0, 0, 1)]
+
+
+def _real_mask(rows, N):
+    return rows < N
+
+
+def _bcast_scalar(vh, vl, like_h):
+    """[1,1] scalar pair -> full-tile pair in two steps: Mosaic cannot
+    broadcast sublanes and lanes in one vector.broadcast."""
+    row_h = vh + jnp.zeros((1, like_h.shape[1]), vh.dtype)
+    row_l = vl + jnp.zeros((1, like_h.shape[1]), vl.dtype)
+    return row_h + jnp.zeros_like(like_h), row_l + jnp.zeros_like(like_h)
+
+
+def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, barriers=False):
+    """One block of the extrapolating sweep in lanes layout (pure jnp).
+
+    lane_rows: [2*(3+S1), L] f32 — pair rows (a, mu, dB, dDmu_q...)
+    cst unpacked by _unpack_cst_mb.
+    """
+    S1 = S - 1
+    (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref) = _unpack_cst_mb(cst, N, S)
+    lnpi_h, lnpi_l = lnpi
+    NPAD = lnpi_h.shape[0]
+    L = lane_rows.shape[-1]
+    rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
+    real = _real_mask(rows, N)
+
+    def lane(i):
+        return lane_rows[2 * i : 2 * i + 1], lane_rows[2 * i + 1 : 2 * i + 2]
+
+    ah, al = lane(0)
+    muh, mul = lane(1)
+    dbh, dbl = lane(2)
+    dds = [lane(3 + q) for q in range(S1)]
+
+    # ---- reweight: x = lnpi + a*op (pallas_sweep parity) ----
+    ph, pe = ds.two_prod(ah, op)
+    pe = pe + al * op
+    aoh, aol = ds.quick_two_sum(ph, pe)
+    xh, xl = ds.ds_add(lnpi_h, lnpi_l + jnp.zeros_like(aol), aoh, aol)
+
+    # ---- GC averages under P ~ exp(x) (max-shifted; pad rows masked) ----
+    mh = jnp.max(jnp.where(real, xh, F32(-jnp.inf)), axis=0, keepdims=True)
+    ml = jnp.max(jnp.where(real & (xh == mh), xl, F32(-jnp.inf)), axis=0, keepdims=True)
+    th, tl = ds.ds_sub(xh, xl, mh, ml)
+    eh, el = ds.ds_exp_shifted(th, tl)
+    eh = jnp.where(real, eh, F32(0.0))
+    el = jnp.where(real, el, F32(0.0))
+
+    s0 = ds.ds_sum_pairs(eh, el, axis=0)
+    av = []  # <N_0..S-1>, <U> pairs [1,L]
+    for kh, kl in keys:
+        qh, ql = ds.ds_mul(eh, el, kh + jnp.zeros_like(eh), kl + jnp.zeros_like(el))
+        sh, sl = ds.ds_sum_pairs(qh, ql, axis=0)
+        av.append(ds.ds_div(sh, sl, *s0))
+    av_ni, (avu_h, avu_l) = av[:S], av[S]
+    nth, ntl = av_ni[0]
+    for i in range(1, S):
+        nth, ntl = ds.ds_add(nth, ntl, *av_ni[i])  # <N_tot> = sum <N_i> (dB loop order)
+
+    # ---- dlnPI/dB (gc_hist.pyx:2146-2149; i=0 term vanishes: dmuref_0=0) ----
+    d1b_h = jnp.zeros_like(xh)
+    d1b_l = jnp.zeros_like(xl)
+    for i in range(1, S):
+        nh, nl = keys[i]
+        fh, fl = ds.ds_sub(nh + jnp.zeros_like(xh), nl + jnp.zeros_like(xl), *av_ni[i])
+        gh, gl = ds.ds_mul(fh, fl, *_bcast_scalar(dmuref[i - 1][0], dmuref[i - 1][1], fh))
+        d1b_h, d1b_l = ds.ds_add(d1b_h, d1b_l, gh, gl)
+    oph, opl = ds.ds_sub(op, jnp.zeros_like(op), nth, ntl)  # op exact -> (op, 0) pair
+    gh, gl = ds.ds_mul(muh + jnp.zeros_like(oph), mul + jnp.zeros_like(opl), oph, opl)
+    d1b_h, d1b_l = ds.ds_add(d1b_h, d1b_l, gh, gl)
+    uh, ul = keys[S]
+    fh, fl = ds.ds_sub(uh + jnp.zeros_like(xh), ul + jnp.zeros_like(xl), avu_h, avu_l)
+    d1b_h, d1b_l = ds.ds_sub(d1b_h, d1b_l, fh, fl)
+
+    # ---- x' = x + dB*d1B + sum_q dDmu_q * beta_ref (N_{q+1} - <N_{q+1}>) ----
+    gh, gl = ds.ds_mul(dbh + jnp.zeros_like(d1b_h), dbl + jnp.zeros_like(d1b_l), d1b_h, d1b_l)
+    xh, xl = ds.ds_add(xh, xl, gh, gl)
+    for q in range(S1):
+        nh, nl = keys[q + 1]
+        fh, fl = ds.ds_sub(nh + jnp.zeros_like(xh), nl + jnp.zeros_like(xl), *av_ni[q + 1])
+        fh, fl = ds.ds_mul(fh, fl, *_bcast_scalar(beta_ref[0], beta_ref[1], fh))
+        ddh, ddl = dds[q]
+        gh, gl = ds.ds_mul(ddh + jnp.zeros_like(fh), ddl + jnp.zeros_like(fl), fh, fl)
+        xh, xl = ds.ds_add(xh, xl, gh, gl)
+
+    # ---- key rows extrapolated with the precomputed semigrand rows ----
+    if props:
+        keys2 = []
+        for k in range(S + 1):
+            kh, kl = keys[k]
+            kh = kh + jnp.zeros_like(xh)
+            kl = kl + jnp.zeros_like(xl)
+            bh, bl = dkeydB[k]
+            gh, gl = ds.ds_mul(dbh + jnp.zeros_like(xh), dbl + jnp.zeros_like(xl), bh + jnp.zeros_like(xh), bl + jnp.zeros_like(xl))
+            kh, kl = ds.ds_add(kh, kl, gh, gl)
+            for q in range(S1):
+                qh_, ql_ = dkeydMU[q][k]
+                ddh, ddl = dds[q]
+                gh, gl = ds.ds_mul(ddh + jnp.zeros_like(xh), ddl + jnp.zeros_like(xl), qh_ + jnp.zeros_like(xh), ql_ + jnp.zeros_like(xl))
+                kh, kl = ds.ds_add(kh, kl, gh, gl)
+            keys2.append((kh, kl))
+    else:
+        keys2 = keys
+
+    return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers)
+
+
+# ----------------------------------------------------------------------
+# const packing
+# ----------------------------------------------------------------------
+
+
+def _const_block_mb(h: Hist, meta: HistMeta, NPAD: int):
+    """[R, 1] f32 const: lnpi pair, op, key pairs, dkeydB pairs, dkeydMU
+    pairs, then scalars (vol, beta_ref, dmuref_q) as single-entry rows."""
+    N = h.lnpi.shape[-1]
+    S = meta.nspec
+    lnpi = h.lnpi - jax.scipy.special.logsumexp(h.lnpi)  # engine parity: normalized base
+
+    def pad(v):
+        return jnp.concatenate([v, jnp.broadcast_to(v[-1:], (NPAD - N,))]) if NPAD > N else v
+
+    eng = DerivEngine(h.replace(lnpi=lnpi), meta)
+    addrs = _key_addrs(meta)
+
+    segs = []
+    lh, ll = ds.split_f64(pad(lnpi))
+    segs += [lh, ll, pad(h.op).astype(F32)]
+    for a in addrs:
+        segs += list(ds.split_f64(pad(eng.m(a))))
+    for a in addrs:
+        segs += list(ds.split_f64(pad(eng.sg_dX_dB(a, 0))))
+    for q in range(S - 1):
+        for a in addrs:
+            segs += list(ds.split_f64(pad(eng.sg_dX_dMU(q, a))))
+    scal = jnp.concatenate(
+        [h.volume.reshape(1), h.curr_beta.reshape(1), (h.curr_mu[1:] - h.curr_mu[0]).reshape(-1)]
+    )
+    segs += list(ds.split_f64(scal))
+    return jnp.concatenate([x.reshape(-1) for x in segs])[:, None]
+
+
+def _unpack_cst_mb(cst, N, S):
+    NPAD = _npad(N)
+    K = S + 1
+    at = 0
+
+    def take(n):
+        nonlocal at
+        v = cst[at : at + n]
+        at += n
+        return v
+
+    lnpi = (take(NPAD), take(NPAD))
+    op = take(NPAD)
+    keys = [(take(NPAD), take(NPAD)) for _ in range(K)]
+    dkeydB = [(take(NPAD), take(NPAD)) for _ in range(K)]
+    dkeydMU = [[(take(NPAD), take(NPAD)) for _ in range(K)] for _ in range(S - 1)]
+    nsc = 2 + (S - 1)
+    sh = take(nsc)
+    sl = take(nsc)
+    vol = (sh[0:1], sl[0:1])
+    beta_ref = (sh[1:2], sl[1:2])
+    dmuref = [(sh[2 + q : 3 + q], sl[2 + q : 3 + q]) for q in range(S - 1)]
+    return lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref
+
+
+def _lane_rows(h: Hist, mu_grid, beta_grid, dmu_grid, block):
+    """Flatten the (mu, target) product to padded [nb, 2*(3+S1), block]."""
+    M = mu_grid.shape[0]
+    A = beta_grid.shape[0]
+    S1 = dmu_grid.shape[1]
+    dmu_ref = h.curr_mu[1:] - h.curr_mu[0]
+
+    mu = jnp.broadcast_to(mu_grid[:, None], (M, A)).reshape(-1)
+    a = (mu_grid[:, None] - h.curr_mu[0]) * h.curr_beta
+    a = jnp.broadcast_to(a, (M, A)).reshape(-1)
+    db = jnp.broadcast_to((beta_grid - h.curr_beta)[None, :], (M, A)).reshape(-1)
+    dds = [jnp.broadcast_to((dmu_grid[:, q] - dmu_ref[q])[None, :], (M, A)).reshape(-1) for q in range(S1)]
+
+    B = M * A
+    nb = -(-B // block)
+
+    def prep(v):
+        if nb * block != B:
+            v = jnp.concatenate([v, jnp.broadcast_to(v[-1:], (nb * block - B,))])
+        return v.reshape(nb, 1, block)
+
+    rows = []
+    for v in [a, mu, db] + dds:
+        vh, vl = ds.split_f64(prep(v))
+        rows += [vh, vl]
+    return jnp.concatenate(rows, axis=1), B, nb  # [nb, 2*(3+S1), block]
+
+
+# ----------------------------------------------------------------------
+# pallas_call shell + eager XLA reference
+# ----------------------------------------------------------------------
+
+
+def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props):
+    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props)
+    f, i = _pack_rows(out, P, S, props)
+    out_f_ref[0] = f
+    out_i_ref[0] = i
+
+
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret"))
+def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool):
+    P, S = meta.max_phases, meta.nspec
+    N = h.lnpi.shape[-1]
+    NPAD = _npad(N)
+    lr, B, nb = _lane_rows(h, mu_grid, beta_grid, dmu_grid, block)
+    cst = _const_block_mb(h, meta, NPAD)
+    NRF = 2 * P * len(_f_quantities(S, props))
+    NRI = 3 * P + 2
+    NL = lr.shape[1]
+    import sys
+
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    Z = np.int32(0)
+    out_f, out_i = pl.pallas_call(
+        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, NL, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cst.shape, lambda i: (Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NRF, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NRI, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, NRF, block), F32),
+            jax.ShapeDtypeStruct((nb, NRI, block), I32),
+        ],
+        interpret=interpret,
+    )(lr, cst)
+    out_f = jnp.moveaxis(out_f, 1, 0).reshape(NRF, nb * block)[:, :B]
+    out_i = jnp.moveaxis(out_i, 1, 0).reshape(NRI, nb * block)[:, :B]
+    return _unpack(out_f, out_i, B, P, S, props)
+
+
+def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool):
+    """EAGER reference path (CPU tests) — see pallas_sweep._sweep_ds_xla
+    for why it is not jitted (XLA:CPU fusion blowup on this DAG shape)."""
+    P, S = meta.max_phases, meta.nspec
+    N = h.lnpi.shape[-1]
+    NPAD = _npad(N)
+    B = mu_grid.shape[0] * beta_grid.shape[0]
+    lr, B2, nb = _lane_rows(h, mu_grid, beta_grid, dmu_grid, block=B)
+    assert B2 == B and nb == 1
+    cst = _const_block_mb(h, meta, NPAD)
+    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, barriers=True)
+    f, i = _pack_rows(out, P, S, props)
+    return _unpack(f, i, B, P, S, props)
+
+
+def mu_beta_sweep_thermo_ds(
+    h: Hist,
+    meta: HistMeta,
+    mu_grid,
+    beta_grid,
+    dmu_grid,
+    props: bool = True,
+    block: int | None = None,
+    mode: str | None = None,
+):
+    """Drop-in for pipeline.mu_beta_sweep_thermo at ORDER 1 running the
+    fused double-single Pallas kernel (see module docstring).  Output dict
+    matches the XLA path's [M, A] leading axes (plus left/right bounds).
+
+    mode: "pallas" (TPU), "xla" (eager CPU reference), None = auto.
+    """
+    if meta.used_ke:
+        # order-1 lnPI row carries no KE term (gc_hist.pyx:2146-2149) and
+        # sg_dX_dB is precomputed with the engine's KE corrections, so
+        # used_ke actually flows through — but it is untested here; the
+        # XLA path is authoritative for KE data.
+        raise NotImplementedError("used_ke histograms: use the XLA mu_beta path")
+    if mode is None:
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if block is None:
+        block = default_block(h.lnpi.shape[-1])
+    mu_grid = jnp.asarray(mu_grid, dtype=jnp.float64)
+    beta_grid = jnp.atleast_1d(jnp.asarray(beta_grid, dtype=jnp.float64))
+    dmu_grid = jnp.atleast_2d(jnp.asarray(dmu_grid, dtype=jnp.float64))
+    if dmu_grid.shape[0] == 1:
+        dmu_grid = jnp.broadcast_to(dmu_grid, (beta_grid.shape[0], dmu_grid.shape[1]))
+
+    M, A = mu_grid.shape[0], beta_grid.shape[0]
+    if mode == "xla":
+        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props)
+    else:
+        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret")
+    return jax.tree_util.tree_map(lambda v: v.reshape((M, A) + v.shape[1:]), flat)

@@ -48,7 +48,7 @@ BIG = np.int32(jnp.iinfo(jnp.int32).max)
 F32 = np.float32  # numpy scalar ctor: Pallas closures may not capture device arrays
 I32 = jnp.int32
 
-__all__ = ["mu_sweep_thermo_ds", "sweep_block_lanes"]
+__all__ = ["mu_sweep_thermo_ds", "sweep_block_lanes", "thermo_lanes", "default_block"]
 
 
 def _npad(n: int) -> int:
@@ -289,11 +289,9 @@ def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, 
                  Pallas (Mosaic materializes values in VMEM as written).
     Returns dict of [1,L]-row lists / [1,L] scalars (see _pack_rows).
     """
-    brk = lax.optimization_barrier if barriers else (lambda t: t)
     NPAD = lnpi_h.shape[0]
     L = ah.shape[-1]
     rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
-    neg_inf = F32(-jnp.inf)
 
     # x = lnpi + a*op  (reweight, gc_hist.pyx:71-78 without normalization:
     # fe/props are shift-invariant, pipeline._point_thermo parity)
@@ -301,6 +299,18 @@ def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, 
     pe = pe + al * op
     aoh, aol = ds.quick_two_sum(ph, pe)
     xh, xl = ds.ds_add(lnpi_h, lnpi_l + jnp.zeros_like(aol), aoh, aol)
+
+    return thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers)
+
+
+def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=False):
+    """Segment + integrate a [NPAD, L] pair surface in lanes layout: the
+    post-reweight 4/5 of sweep_block_lanes, shared with the extrapolating
+    kernels (pallas_mb.py) which build their own x and key rows first.
+    keys entries may be [NPAD, 1] (broadcast) or full [NPAD, L] pairs."""
+    brk = lax.optimization_barrier if barriers else (lambda t: t)
+    neg_inf = F32(-jnp.inf)
+    NPAD, L = xh.shape
 
     ext = _relextrema_lanes(xh, xl, rows, N, smooth, P)
     lefts, rights, mask = _phase_bounds_lanes(ext, N, P)

@@ -153,7 +153,7 @@ def mu_beta_sweep_body(
 
 
 @partial(jax.jit, static_argnames=("meta", "order", "props", "first_order_mom", "collect"))
-def mu_beta_sweep_thermo(
+def _mu_beta_sweep_thermo_xla(
     h: Hist,
     meta: HistMeta,
     mu_grid,
@@ -164,14 +164,56 @@ def mu_beta_sweep_thermo(
     first_order_mom: bool = False,
     collect=None,
 ):
+    return mu_beta_sweep_body(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
+
+
+def mu_beta_sweep_thermo(
+    h: Hist,
+    meta: HistMeta,
+    mu_grid,
+    beta_grid,
+    dmu_grid,
+    order: int = 1,
+    props: bool = True,
+    first_order_mom: bool = False,
+    collect=None,
+    engine: str = "auto",
+):
     """Full (mu_1, beta, dMu) product sweep: reweight -> joint Taylor
     extrapolation -> thermo, one launch.
 
     mu_grid: [M], beta_grid: [A], dmu_grid: [A or 1, S-1] paired with beta
     via broadcasting against the grid: every (mu, (beta, dmu)) pair is
     evaluated; returns leading axes [M, A].
+
+    engine: "auto" (default) runs the fused double-single Pallas kernel
+    on TPU at order 1 (core/pallas_mb.py; measured 4-10x the XLA path at
+    identical 1e-8 parity), falling back to XLA for order 2, collect,
+    used_ke histograms, off-TPU, or Mosaic failure.  "xla"/"pallas"
+    force a path.
     """
-    return mu_beta_sweep_body(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
+    use_pallas = engine == "pallas"
+    if (
+        engine == "auto"
+        and order == 1
+        and collect is None
+        and not meta.used_ke
+        and jax.default_backend() == "tpu"
+        and _PALLAS_OK.get("tpu", True)
+    ):
+        use_pallas = True
+    if use_pallas:
+        from .pallas_mb import mu_beta_sweep_thermo_ds
+
+        try:
+            out = mu_beta_sweep_thermo_ds(h, meta, mu_grid, beta_grid, dmu_grid, props=props)
+            _PALLAS_OK["tpu"] = True
+            return out
+        except Exception:
+            if engine == "pallas":
+                raise
+            _PALLAS_OK["tpu"] = False
+    return _mu_beta_sweep_thermo_xla(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
 
 
 def most_stable_phase(fe, mask):

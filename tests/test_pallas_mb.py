@@ -1,0 +1,62 @@
+"""Double-single extrapolating-sweep kernel vs the XLA mu_beta pipeline
+(CPU, eager lanes body).  Segmentation decisions must match exactly and
+fe/props to pair precision — far inside the 1e-8 production bar."""
+
+import numpy as np
+import pytest
+
+from fhmcanalysis_tpu.core import pipeline as P
+from fhmcanalysis_tpu.core.pallas_mb import mu_beta_sweep_thermo_ds
+from fhmcanalysis_tpu.histogram.ntot import histogram
+
+FIXTURE = "/root/reference/unittests/reference/test.nc"
+
+
+@pytest.fixture(scope="module")
+def fixture_hist():
+    h = histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1)
+    return h._hist(), h._meta(max_phases=4)
+
+
+def _compare(hh, meta, mus, betas, dmus, props=True, tol=1e-9):
+    got = mu_beta_sweep_thermo_ds(hh, meta, mus, betas, dmus, props=props, mode="xla")
+    want = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=1, props=props)
+    np.testing.assert_array_equal(np.asarray(got["valid"]), np.asarray(want["valid"]))
+    np.testing.assert_array_equal(np.asarray(got["mask"]), np.asarray(want["mask"]))
+    np.testing.assert_array_equal(np.asarray(got["n_phases"]), np.asarray(want["n_phases"]))
+    msk = np.asarray(want["mask"])
+    worst = {}
+    worst["fe"] = np.max(np.abs(np.where(msk, np.asarray(got["fe"]) - np.asarray(want["fe"]), 0.0)))
+    if props:
+        for k in ("ntot", "u", "density"):
+            worst[k] = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+        for k in ("n_i", "x_i"):
+            worst[k] = np.max(np.abs(np.where(msk[..., None], np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+    for k, v in worst.items():
+        assert v < tol, (k, v)
+
+
+def test_mb_fixture_parity(fixture_hist):
+    hh, meta = fixture_hist
+    mus = np.linspace(-2.0, 7.0, 24)
+    betas = np.linspace(0.92, 1.08, 4)
+    dmus = np.linspace(-5.4, -4.6, 4)[:, None]
+    _compare(hh, meta, mus, betas, dmus, props=True)
+
+
+def test_mb_noprops(fixture_hist):
+    hh, meta = fixture_hist
+    _compare(hh, meta, np.linspace(-1.0, 6.0, 16), np.array([1.05]), np.array([[-5.2]]), props=False)
+
+
+def test_mb_identity_targets(fixture_hist):
+    """Zero extrapolation distance reduces to the plain sweep."""
+    hh, meta = fixture_hist
+    mus = np.linspace(-2.0, 7.0, 32)
+    got = mu_beta_sweep_thermo_ds(hh, meta, mus, np.array([1.0]), np.array([[-5.0]]), props=True, mode="xla")
+    want = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="xla")
+    msk = np.asarray(want["mask"])
+    np.testing.assert_array_equal(np.asarray(got["mask"])[:, 0], msk)
+    for k in ("fe", "ntot", "u"):
+        d = np.max(np.abs(np.where(msk, np.asarray(got[k])[:, 0] - np.asarray(want[k]), 0.0)))
+        assert d < 1e-10, (k, d)
