@@ -20,13 +20,24 @@ def host(test_nc):
     return oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
 
 
+def _load_for_order(test_nc, order):
+    """Order-2 moment extrapolation needs max_order >= 3: switch to the
+    test2.nc fixture trimmed to order 3 (exactly as bench.py does)."""
+    if order < 2:
+        return oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
+    h = oneDH.histogram(test_nc.replace("test.nc", "test2.nc"), 1.0, [5.0, 0.0], smooth=1)
+    h.data["max_order"] = 3
+    h.data["mom"] = np.ascontiguousarray(np.asarray(h.data["mom"])[:, :4, :, :4, :4, :])
+    return h
+
+
 @pytest.fixture(scope="module")
 def state(host):
     return host._hist(), host._meta(max_phases=4)
 
 
 def _host_point(test_nc, mu, beta=None, dmu=None, order=1):
-    hc = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
+    hc = _load_for_order(test_nc, order)
     hc.reweight(float(mu))
     if beta is not None:
         hc = hc.temp_dmu_extrap(float(beta), np.asarray(dmu), order, override=True)
@@ -57,7 +68,8 @@ def test_mu_sweep_parity(state, test_nc):
 def test_mu_beta_sweep_parity(state, test_nc, order):
     from fhmcanalysis_tpu.core import pipeline as P
 
-    hh, meta = state
+    src = _load_for_order(test_nc, order)
+    hh, meta = src._hist(), src._meta(max_phases=4)
     mus = np.linspace(-1.0, 6.0, 9)
     betas = np.array([0.95, 1.0, 1.06])
     dmus = np.array([[-4.9], [-5.0], [-5.1]])
@@ -96,7 +108,7 @@ def test_pallas_ds_sweep_matches_xla_on_chip(state):
     hh, meta = state
     mus = np.linspace(-2.0, 7.0, 2048)
     got = mu_sweep_thermo_ds(hh, meta, mus, props=True, block=512, mode="pallas")
-    want = P.mu_sweep_thermo(hh, meta, mus, props=True)
+    want = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="xla")
     for k in ("valid", "mask", "n_phases", "left", "right"):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
     msk = np.asarray(want["mask"])
