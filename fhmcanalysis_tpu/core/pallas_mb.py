@@ -28,8 +28,13 @@ Everything is (hi, lo) f32-pair arithmetic: d1B magnitudes reach
 |mu|*op ~ 150, so plain f32 would inject ~1e-5 * dB ~ 1e-6 into x' — far
 outside the 1e-8 bar; pairs keep it at ~2^-49 relative.
 
-Order 2 falls back to the XLA path (its Hessian needs the full
-gc_dX_dB fluctuation chains per lane — a future extension).
+Order 2 (nspec == 2, the reference's own mom_prod limit) adds the joint
+Hessian: the semigrand second-derivative rows (sg_d2X_dB2 / sg_d2X_dMU2 /
+the beta-dMu cross, gc_hist.pyx:1776-1868, 2534-2561) are again
+mu-independent and precomputed; the per-lane pieces are the gc_dX_dB
+chains (gc_hist.pyx:1382-1418), which reduce to seven more pair tree-sums
+(<op>, <op^2>, <op N_2>, <op U>, <N_2 N_2>, <N_2 U>, <U^2>) and scalar
+fluctuation algebra on [1, L] rows.
 """
 
 from __future__ import annotations
@@ -78,14 +83,14 @@ def _bcast_scalar(vh, vl, like_h):
     return row_h + jnp.zeros_like(like_h), row_l + jnp.zeros_like(like_h)
 
 
-def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, barriers=False):
+def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False):
     """One block of the extrapolating sweep in lanes layout (pure jnp).
 
     lane_rows: [2*(3+S1), L] f32 — pair rows (a, mu, dB, dDmu_q...)
     cst unpacked by _unpack_cst_mb.
     """
     S1 = S - 1
-    (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref) = _unpack_cst_mb(cst, N, S)
+    (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2) = _unpack_cst_mb(cst, N, S, order)
     lnpi_h, lnpi_l = lnpi
     NPAD = lnpi_h.shape[0]
     L = lane_rows.shape[-1]
@@ -151,6 +156,100 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, barriers=False):
         gh, gl = ds.ds_mul(ddh + jnp.zeros_like(fh), ddl + jnp.zeros_like(fl), fh, fl)
         xh, xl = ds.ds_add(xh, xl, gh, gl)
 
+    # ---- order-2 Hessian (S == 2; gc_hist.pyx:2484-2563) ----
+    if order >= 2:
+        f11row, sgB2, sgX, sgM2 = o2[0], o2[1], o2[2], o2[3]
+        ddh, ddl = dds[0]
+        brh, brl = beta_ref
+
+        def tsum(qh, ql):
+            wh = jnp.where(real, qh, F32(0.0))
+            wl = jnp.where(real, ql, F32(0.0))
+            return ds.ds_sum_pairs(wh, wl, axis=0)
+
+        def av_of(sh, sl):
+            return ds.ds_div(sh, sl, *s0)
+
+        # op-product averages (op exact f32; e carries the real-row mask)
+        def op_row(vh, vl):
+            ph_, pe_ = ds.two_prod(op, vh)
+            pe_ = pe_ + op * vl
+            return ds.quick_two_sum(ph_, pe_)
+
+        eo_h, eo_l = op_row(eh, el)  # e*op
+        av_op = av_of(*ds.ds_sum_pairs(eo_h, eo_l, axis=0))
+        av_op2 = av_of(*ds.ds_sum_pairs(*op_row(eo_h, eo_l), axis=0))
+        n2h, n2l = keys[1]
+        uh_, ul_ = keys[S]
+        e_n2 = ds.ds_mul(eh, el, n2h + jnp.zeros_like(eh), n2l + jnp.zeros_like(el))
+        e_u = ds.ds_mul(eh, el, uh_ + jnp.zeros_like(eh), ul_ + jnp.zeros_like(el))
+        av_opn2 = av_of(*ds.ds_sum_pairs(*op_row(*e_n2), axis=0))
+        av_opu = av_of(*ds.ds_sum_pairs(*op_row(*e_u), axis=0))
+        av_rows = {}
+        for name, (rh, rl) in (("n2n2", o2[4]), ("n2u", o2[5]), ("uu", o2[6])):
+            qh, ql = ds.ds_mul(eh, el, rh + jnp.zeros_like(eh), rl + jnp.zeros_like(el))
+            av_rows[name] = av_of(*tsum(qh, ql))
+
+        av_n2 = av_ni[1]
+        av_u = (avu_h, avu_l)
+
+        def fluct(av_ab, av_a, av_b):
+            prod = ds.ds_mul(*av_a, *av_b)
+            return ds.ds_sub(*av_ab, *prod)
+
+        # f(X, Y) scalar pairs per lane
+        f_n2_op = fluct(av_opn2, av_n2, av_op)
+        f_n2_u = fluct(av_rows["n2u"], av_n2, av_u)
+        f_n2_n2 = fluct(av_rows["n2n2"], av_n2, av_n2)
+        f_op_op = fluct(av_op2, av_op, av_op)
+        f_op_u = fluct(av_opu, av_op, av_u)
+        f_u_u = fluct(av_rows["uu"], av_u, av_u)
+
+        dmu1 = dmuref[0]
+
+        def gcdb(f_op, f_u, f_n2):
+            # gc_dX_dB, KE-free (gc_hist.pyx:1382-1410): mu0 f(X,op) -
+            # f(X,U) + dmuref f(X,N2)
+            t1 = ds.ds_mul(muh, mul, *f_op)
+            t2 = ds.ds_sub(*t1, *f_u)
+            t3 = ds.ds_mul(dmu1[0] + jnp.zeros_like(f_n2[0]), dmu1[1] + jnp.zeros_like(f_n2[1]), *f_n2)
+            return ds.ds_add(*t2, *t3)
+
+        gcdb_n2 = gcdb(f_n2_op, f_n2_u, f_n2_n2)
+        gcdb_op = gcdb(f_op_op, f_op_u, f_n2_op)  # f(op,N2) == f(N2,op)
+        gcdb_u = gcdb(f_op_u, f_u_u, f_n2_u)
+
+        def full(sc):
+            return _bcast_scalar(sc[0], sc[1], xh)
+
+        # H00 = dmuref (sgB_N2 - gc_N2) + mu (-gc_op) - (sgB_U - gc_U)
+        t_n2 = ds.ds_sub(dkeydB[1][0] + jnp.zeros_like(xh), dkeydB[1][1] + jnp.zeros_like(xl), *full(gcdb_n2))
+        h00 = ds.ds_mul(*t_n2, *full(dmu1))
+        mu_full = (muh + jnp.zeros_like(xh), mul + jnp.zeros_like(xl))
+        h00 = ds.ds_sub(*h00, *ds.ds_mul(*mu_full, *full(gcdb_op)))
+        t_u = ds.ds_sub(dkeydB[S][0] + jnp.zeros_like(xh), dkeydB[S][1] + jnp.zeros_like(xl), *full(gcdb_u))
+        h00 = ds.ds_sub(*h00, *t_u)
+
+        # H11 = beta^2 (f11row - gc_fluct(N2,N2))
+        b2 = ds.ds_mul(brh, brl, brh, brl)
+        h11 = ds.ds_sub(f11row[0] + jnp.zeros_like(xh), f11row[1] + jnp.zeros_like(xl), *full(f_n2_n2))
+        h11 = ds.ds_mul(*h11, *full(b2))
+
+        # H01 = (N2 - <N2>) + beta (sgB_N2 - gc_N2)
+        h01 = ds.ds_sub(n2h + jnp.zeros_like(xh), n2l + jnp.zeros_like(xl), *full(av_n2))
+        h01 = ds.ds_add(*h01, *ds.ds_mul(*t_n2, *full((brh, brl))))
+
+        # x' += 0.5 (dB^2 H00 + 2 dB dd H01 + dd^2 H11)
+        db_full = (dbh + jnp.zeros_like(xh), dbl + jnp.zeros_like(xl))
+        dd_full = (ddh + jnp.zeros_like(xh), ddl + jnp.zeros_like(xl))
+        db2 = ds.ds_mul(*db_full, *db_full)
+        dbdd = ds.ds_mul(*db_full, *dd_full)
+        dd2 = ds.ds_mul(*dd_full, *dd_full)
+        acc = ds.ds_mul(*db2, *h00)
+        acc = ds.ds_add(*acc, *ds.ds_mul(*ds.ds_mul_f32(*dbdd, F32(2.0)), *h01))
+        acc = ds.ds_add(*acc, *ds.ds_mul(*dd2, *h11))
+        xh, xl = ds.ds_add(xh, xl, *ds.ds_mul_f32(*acc, F32(0.5)))
+
     # ---- key rows extrapolated with the precomputed semigrand rows ----
     if props:
         keys2 = []
@@ -163,9 +262,15 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, barriers=False):
             kh, kl = ds.ds_add(kh, kl, gh, gl)
             for q in range(S1):
                 qh_, ql_ = dkeydMU[q][k]
-                ddh, ddl = dds[q]
-                gh, gl = ds.ds_mul(ddh + jnp.zeros_like(xh), ddl + jnp.zeros_like(xl), qh_ + jnp.zeros_like(xh), ql_ + jnp.zeros_like(xl))
+                ddh_, ddl_ = dds[q]
+                gh, gl = ds.ds_mul(ddh_ + jnp.zeros_like(xh), ddl_ + jnp.zeros_like(xl), qh_ + jnp.zeros_like(xh), ql_ + jnp.zeros_like(xl))
                 kh, kl = ds.ds_add(kh, kl, gh, gl)
+            if order >= 2 and not first_order_mom:
+                sgB2, sgX, sgM2 = o2[1], o2[2], o2[3]
+                acc = ds.ds_mul(*db2, sgB2[k][0] + jnp.zeros_like(xh), sgB2[k][1] + jnp.zeros_like(xl))
+                acc = ds.ds_add(*acc, *ds.ds_mul(*ds.ds_mul_f32(*dbdd, F32(2.0)), sgX[k][0] + jnp.zeros_like(xh), sgX[k][1] + jnp.zeros_like(xl)))
+                acc = ds.ds_add(*acc, *ds.ds_mul(*dd2, sgM2[k][0] + jnp.zeros_like(xh), sgM2[k][1] + jnp.zeros_like(xl)))
+                kh, kl = ds.ds_add(kh, kl, *ds.ds_mul_f32(*acc, F32(0.5)))
             keys2.append((kh, kl))
     else:
         keys2 = keys
@@ -178,9 +283,13 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, barriers=False):
 # ----------------------------------------------------------------------
 
 
-def _const_block_mb(h: Hist, meta: HistMeta, NPAD: int):
+def _const_block_mb(h: Hist, meta: HistMeta, NPAD: int, order: int = 1):
     """[R, 1] f32 const: lnpi pair, op, key pairs, dkeydB pairs, dkeydMU
-    pairs, then scalars (vol, beta_ref, dmuref_q) as single-entry rows."""
+    pairs, scalars (vol, beta_ref, dmuref_q), then (order 2) the
+    mu-independent Hessian rows: the dMu-block semigrand fluctuation
+    (gc_hist.pyx:2509-2513), sg_d2X_dB2 / beta-dMu cross / sg_d2X_dMU2
+    per key row (:1776-1868, 2534-2561), and the N2N2/N2U/UU product
+    rows the per-lane gc averages contract against."""
     N = h.lnpi.shape[-1]
     S = meta.nspec
     lnpi = h.lnpi - jax.scipy.special.logsumexp(h.lnpi)  # engine parity: normalized base
@@ -205,10 +314,26 @@ def _const_block_mb(h: Hist, meta: HistMeta, NPAD: int):
         [h.volume.reshape(1), h.curr_beta.reshape(1), (h.curr_mu[1:] - h.curr_mu[0]).reshape(-1)]
     )
     segs += list(ds.split_f64(scal))
+
+    if order >= 2:
+        assert S == 2, "order-2 kernel is nspec==2 only (mom_prod limit)"
+        nq = (1, 1, 0, 0, 0)
+        f11 = eng.m((1, 1, 1, 1, 0)) - eng.m((1, 1, 1, 0, 0)) * eng.m((1, 0, 1, 1, 0))
+        segs += list(ds.split_f64(pad(f11)))
+        for a in addrs:
+            segs += list(ds.split_f64(pad(eng.sg_d2X_dB2(a, 0))))
+        for a in addrs:
+            z = eng._prod(nq, a)
+            f = eng.m(z) - eng.m(nq) * eng.m(a)
+            segs += list(ds.split_f64(pad(eng.beta * eng.sg_df_dB((nq, 0), (a, 0)) + f)))
+        for a in addrs:
+            segs += list(ds.split_f64(pad(eng.sg_d2X_dMU2(0, 0, a))))
+        for x, y in [(nq, nq), (nq, (0, 0, 0, 0, 1)), ((0, 0, 0, 0, 1), (0, 0, 0, 0, 1))]:
+            segs += list(ds.split_f64(pad(eng.m(eng._prod(x, y)))))
     return jnp.concatenate([x.reshape(-1) for x in segs])[:, None]
 
 
-def _unpack_cst_mb(cst, N, S):
+def _unpack_cst_mb(cst, N, S, order=1):
     NPAD = _npad(N)
     K = S + 1
     at = 0
@@ -219,18 +344,29 @@ def _unpack_cst_mb(cst, N, S):
         at += n
         return v
 
-    lnpi = (take(NPAD), take(NPAD))
+    def pair():
+        return (take(NPAD), take(NPAD))
+
+    lnpi = pair()
     op = take(NPAD)
-    keys = [(take(NPAD), take(NPAD)) for _ in range(K)]
-    dkeydB = [(take(NPAD), take(NPAD)) for _ in range(K)]
-    dkeydMU = [[(take(NPAD), take(NPAD)) for _ in range(K)] for _ in range(S - 1)]
+    keys = [pair() for _ in range(K)]
+    dkeydB = [pair() for _ in range(K)]
+    dkeydMU = [[pair() for _ in range(K)] for _ in range(S - 1)]
     nsc = 2 + (S - 1)
     sh = take(nsc)
     sl = take(nsc)
     vol = (sh[0:1], sl[0:1])
     beta_ref = (sh[1:2], sl[1:2])
     dmuref = [(sh[2 + q : 3 + q], sl[2 + q : 3 + q]) for q in range(S - 1)]
-    return lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref
+    o2 = None
+    if order >= 2:
+        f11 = pair()
+        sgB2 = [pair() for _ in range(K)]
+        sgX = [pair() for _ in range(K)]
+        sgM2 = [pair() for _ in range(K)]
+        n2n2, n2u, uu = pair(), pair(), pair()
+        o2 = (f11, sgB2, sgX, sgM2, n2n2, n2u, uu)
+    return lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2
 
 
 def _lane_rows(h: Hist, mu_grid, beta_grid, dmu_grid, block):
@@ -266,20 +402,20 @@ def _lane_rows(h: Hist, mu_grid, beta_grid, dmu_grid, block):
 # ----------------------------------------------------------------------
 
 
-def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props):
-    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props)
+def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props, order, first_order_mom):
+    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props, order, first_order_mom)
     f, i = _pack_rows(out, P, S, props)
     out_f_ref[0] = f
     out_i_ref[0] = i
 
 
-@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret"))
-def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool):
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "order", "first_order_mom"))
+def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool, order: int = 1, first_order_mom: bool = False):
     P, S = meta.max_phases, meta.nspec
     N = h.lnpi.shape[-1]
     NPAD = _npad(N)
     lr, B, nb = _lane_rows(h, mu_grid, beta_grid, dmu_grid, block)
-    cst = _const_block_mb(h, meta, NPAD)
+    cst = _const_block_mb(h, meta, NPAD, order)
     NRF = 2 * P * len(_f_quantities(S, props))
     NRI = 3 * P + 2
     NL = lr.shape[1]
@@ -289,7 +425,7 @@ def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: 
         sys.setrecursionlimit(20000)
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props),
+        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props, order=order, first_order_mom=first_order_mom),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, NL, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -310,7 +446,7 @@ def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: 
     return _unpack(out_f, out_i, B, P, S, props)
 
 
-def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool):
+def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, order: int = 1, first_order_mom: bool = False):
     """EAGER reference path (CPU tests) — see pallas_sweep._sweep_ds_xla
     for why it is not jitted (XLA:CPU fusion blowup on this DAG shape)."""
     P, S = meta.max_phases, meta.nspec
@@ -319,8 +455,8 @@ def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: boo
     B = mu_grid.shape[0] * beta_grid.shape[0]
     lr, B2, nb = _lane_rows(h, mu_grid, beta_grid, dmu_grid, block=B)
     assert B2 == B and nb == 1
-    cst = _const_block_mb(h, meta, NPAD)
-    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, barriers=True)
+    cst = _const_block_mb(h, meta, NPAD, order)
+    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, order, first_order_mom, barriers=True)
     f, i = _pack_rows(out, P, S, props)
     return _unpack(f, i, B, P, S, props)
 
@@ -334,13 +470,19 @@ def mu_beta_sweep_thermo_ds(
     props: bool = True,
     block: int | None = None,
     mode: str | None = None,
+    order: int = 1,
+    first_order_mom: bool = False,
 ):
-    """Drop-in for pipeline.mu_beta_sweep_thermo at ORDER 1 running the
+    """Drop-in for pipeline.mu_beta_sweep_thermo (orders 1-2) running the
     fused double-single Pallas kernel (see module docstring).  Output dict
     matches the XLA path's [M, A] leading axes (plus left/right bounds).
 
     mode: "pallas" (TPU), "xla" (eager CPU reference), None = auto.
     """
+    if order < 1 or order > 2:
+        raise ValueError("kernel implements orders 1-2")
+    if order == 2 and meta.nspec != 2:
+        raise NotImplementedError("order-2 kernel is nspec==2 only")
     if meta.used_ke:
         # order-1 lnPI row carries no KE term (gc_hist.pyx:2146-2149) and
         # sg_dX_dB is precomputed with the engine's KE corrections, so
@@ -359,7 +501,7 @@ def mu_beta_sweep_thermo_ds(
 
     M, A = mu_grid.shape[0], beta_grid.shape[0]
     if mode == "xla":
-        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props)
+        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props, order, first_order_mom)
     else:
-        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret")
+        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret", order, first_order_mom)
     return jax.tree_util.tree_map(lambda v: v.reshape((M, A) + v.shape[1:]), flat)

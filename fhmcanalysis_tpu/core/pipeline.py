@@ -187,15 +187,15 @@ def mu_beta_sweep_thermo(
     evaluated; returns leading axes [M, A].
 
     engine: "auto" (default) runs the fused double-single Pallas kernel
-    on TPU at order 1 (core/pallas_mb.py; measured 4-10x the XLA path at
-    identical 1e-8 parity), falling back to XLA for order 2, collect,
-    used_ke histograms, off-TPU, or Mosaic failure.  "xla"/"pallas"
-    force a path.
+    on TPU at orders 1-2 (core/pallas_mb.py; measured 4-10x the XLA path
+    at identical 1e-8 parity; order 2 requires nspec==2 — the reference's
+    own mom_prod limit), falling back to XLA for collect, used_ke
+    histograms, off-TPU, or Mosaic failure.  "xla"/"pallas" force a path.
     """
     use_pallas = engine == "pallas"
     if (
         engine == "auto"
-        and order == 1
+        and (order == 1 or (order == 2 and meta.nspec == 2))
         and collect is None
         and not meta.used_ke
         and jax.default_backend() == "tpu"
@@ -206,7 +206,9 @@ def mu_beta_sweep_thermo(
         from .pallas_mb import mu_beta_sweep_thermo_ds
 
         try:
-            out = mu_beta_sweep_thermo_ds(h, meta, mu_grid, beta_grid, dmu_grid, props=props)
+            out = mu_beta_sweep_thermo_ds(
+                h, meta, mu_grid, beta_grid, dmu_grid, props=props, order=order, first_order_mom=first_order_mom
+            )
             _PALLAS_OK["tpu"] = True
             return out
         except Exception:

@@ -60,3 +60,56 @@ def test_mb_identity_targets(fixture_hist):
     for k in ("fe", "ntot", "u"):
         d = np.max(np.abs(np.where(msk, np.asarray(got[k])[:, 0] - np.asarray(want[k]), 0.0)))
         assert d < 1e-10, (k, d)
+
+
+@pytest.fixture(scope="module")
+def fixture_hist_o3():
+    """test2.nc trimmed to max_order=3 (order-2 moment extrapolation needs
+    max_order >= 3), exactly as bench.py does."""
+    h = histogram(FIXTURE.replace("test.nc", "test2.nc"), 1.0, [5.0, 0.0], smooth=1)
+    h.data["max_order"] = 3
+    h.data["mom"] = np.ascontiguousarray(np.asarray(h.data["mom"])[:, :4, :, :4, :4, :])
+    return h._hist(), h._meta(max_phases=4)
+
+
+def _compare_o2(hh, meta, mus, betas, dmus, props=True, first_order_mom=False, tol=1e-9):
+    got = mu_beta_sweep_thermo_ds(
+        hh, meta, mus, betas, dmus, props=props, mode="xla", order=2, first_order_mom=first_order_mom
+    )
+    want = P.mu_beta_sweep_thermo(
+        hh, meta, mus, betas, dmus, order=2, props=props, first_order_mom=first_order_mom, engine="xla"
+    )
+    np.testing.assert_array_equal(np.asarray(got["valid"]), np.asarray(want["valid"]))
+    np.testing.assert_array_equal(np.asarray(got["mask"]), np.asarray(want["mask"]))
+    msk = np.asarray(want["mask"])
+    worst = {"fe": np.max(np.abs(np.where(msk, np.asarray(got["fe"]) - np.asarray(want["fe"]), 0.0)))}
+    if props:
+        for k in ("ntot", "u", "density"):
+            worst[k] = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+    for k, v in worst.items():
+        assert v < tol, (k, v)
+
+
+def test_mb_order2_parity(fixture_hist_o3):
+    hh, meta = fixture_hist_o3
+    mus = np.linspace(-2.0, 7.0, 16)
+    betas = np.linspace(0.92, 1.08, 3)
+    dmus = np.linspace(-5.4, -4.6, 3)[:, None]
+    _compare_o2(hh, meta, mus, betas, dmus, props=True)
+
+
+def test_mb_order2_first_order_mom(fixture_hist_o3):
+    hh, meta = fixture_hist_o3
+    _compare_o2(hh, meta, np.linspace(-1.0, 6.0, 8), np.array([1.05]), np.array([[-5.2]]), first_order_mom=True)
+
+
+def test_mb_order2_identity(fixture_hist_o3):
+    """Zero distance: order-2 terms vanish, reduces to the plain sweep."""
+    hh, meta = fixture_hist_o3
+    mus = np.linspace(-2.0, 7.0, 16)
+    got = mu_beta_sweep_thermo_ds(hh, meta, mus, np.array([1.0]), np.array([[-5.0]]), props=True, mode="xla", order=2)
+    want = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="xla")
+    msk = np.asarray(want["mask"])
+    for k in ("fe", "ntot", "u"):
+        d = np.max(np.abs(np.where(msk, np.asarray(got[k])[:, 0] - np.asarray(want[k]), 0.0)))
+        assert d < 1e-10, (k, d)
