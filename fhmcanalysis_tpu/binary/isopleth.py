@@ -85,11 +85,25 @@ def _get_most_stable_phase(hist):
 def _source_derivs(h: Hist, meta: HistMeta, mu1_v, beta_target, cutoff, order: int):
     """Stage 1: per-mu_1 reweighted state + joint Taylor coefficients for
     one source histogram.  Replaces the reference's per-column
-    temp_dmu_extrap_multi calls (gc_binary.pyx:257-269)."""
+    temp_dmu_extrap_multi calls (gc_binary.pyx:257-269).
+
+    The SEMIGRAND rows (sg_dX_dB / sg_dX_dMU / second order) depend only
+    on the mom tensor, beta_ref, and the rigid dMu — NOT on the reweight
+    mu_1 — so one base engine computes them once and every per-mu engine
+    under the vmap reuses them as closure constants (the memo entries are
+    unbatched arrays; vmap broadcasts them).  Before this hoist the
+    per-mu _mom_loop sg chains dominated the whole grid (measured:
+    stage 1 was ~25x the per-point cost of the mu-beta sweep)."""
+    base = DerivEngine(h, meta)
+    base.dBMU(False)
+    if order >= 2:
+        base.dBMU2(False)
+    shared_sg = {k: v for k, v in base._memo.items() if k[0].startswith("sg")}
 
     def one(mu):
         hh = _ops.reweight(h, mu)
         eng = DerivEngine(hh, meta)
+        eng._memo.update(shared_sg)
         d1, m1 = eng.dBMU(False)
         if order >= 2:
             H, Hm = eng.dBMU2(False)
