@@ -29,6 +29,22 @@ Addr = tuple[int, int, int, int, int]
 __all__ = ["DerivEngine", "DerivEngineN1"]
 
 
+def warm_sg_memo(h: Hist, meta, order: int = 2) -> dict:
+    """Semigrand memo entries shared across reweights of one histogram.
+
+    sg_* rows depend only on the mom tensor, beta_ref, and the rigid
+    dMu — not the reweight mu_1 — so batched drivers that vmap over mu
+    (isopleth stage 1, the XLA mu-beta sweep) warm one base engine and
+    seed every per-mu engine via ``eng._memo.update(...)``; under vmap
+    the shared rows are unbatched closure constants.  gc_* entries are
+    mu-dependent and deliberately excluded."""
+    base = DerivEngine(h, meta)
+    base.dBMU(False)
+    if order >= 2:
+        base.dBMU2(False)
+    return {k: v for k, v in base._memo.items() if k[0].startswith("sg")}
+
+
 class DerivEngine:
     """Derivative kernels over one histogram state.
 

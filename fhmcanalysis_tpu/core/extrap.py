@@ -96,14 +96,21 @@ def temp_dmu_extrap(
     order: int = 1,
     skip_mom: bool = False,
     first_order_mom: bool = False,
+    sg_memo: dict | None = None,
 ) -> Hist:
     """Joint (beta, dMu) extrapolation (orders 1-2).
 
     Parity: histogram.temp_dmu_extrap (gc_hist.pyx:889-966, 1045-1092,
     1182-1239).  xi = [dB, dDmu_2, ..., dDmu_S].
+
+    sg_memo: optional derivs.warm_sg_memo(...) dict — batched callers
+    that vmap over the reweight mu share the mu-independent semigrand
+    rows instead of recomputing them per lane.
     """
     h = h.replace(lnpi=normalize_lnpi(h.lnpi))
     eng = DerivEngine(h, meta)
+    if sg_memo:
+        eng._memo.update(sg_memo)
     target_beta = jnp.asarray(target_beta, dtype=h.lnpi.dtype)
     target_dmu = jnp.asarray(target_dmu, dtype=h.lnpi.dtype)
     dB = target_beta - h.curr_beta
@@ -132,6 +139,7 @@ def temp_dmu_extrap_key(
     target_dmu,
     order: int = 1,
     first_order_mom: bool = False,
+    sg_memo: dict | None = None,
 ):
     """Joint (beta, dMu) extrapolation of lnPI plus ONLY the key moment
     rows (<N_i>, <U> — segment.key_row_addresses).
@@ -149,6 +157,8 @@ def temp_dmu_extrap_key(
 
     h = h.replace(lnpi=normalize_lnpi(h.lnpi))
     eng = DerivEngine(h, meta)
+    if sg_memo:
+        eng._memo.update(sg_memo)
     target_beta = jnp.asarray(target_beta, dtype=h.lnpi.dtype)
     target_dmu = jnp.asarray(target_dmu, dtype=h.lnpi.dtype)
     dB = target_beta - h.curr_beta

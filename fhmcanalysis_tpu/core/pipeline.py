@@ -131,17 +131,21 @@ def mu_beta_sweep_body(
     if dmu_grid.shape[0] == 1:
         dmu_grid = jnp.broadcast_to(dmu_grid, (beta_grid.shape[0], dmu_grid.shape[1]))
 
+    from .derivs import warm_sg_memo
+
+    sg_memo = warm_sg_memo(h, meta, order)  # mu-independent rows, shared across the mu vmap
+
     def point(mu, beta, dmu):
         hh = reweight(h, mu)
         if props:
             # key-row moment extrapolation: the full-tensor apply was ~6x
             # the rest of the point cost, and thermo reads nspec+1 rows
-            lnpi, key = temp_dmu_extrap_key(hh, meta, beta, dmu, order=order, first_order_mom=first_order_mom)
+            lnpi, key = temp_dmu_extrap_key(hh, meta, beta, dmu, order=order, first_order_mom=first_order_mom, sg_memo=sg_memo)
             m = jnp.max(lnpi, axis=-1)
             e = jnp.exp(lnpi - m[..., None])
             pt, pp = thermo_key_core(lnpi, e, key, meta, hh.volume, shift=m, collect=collect)
         else:
-            hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True, first_order_mom=first_order_mom)
+            hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True, first_order_mom=first_order_mom, sg_memo=sg_memo)
             (hh, pt), pp = thermo(hh, meta, props=False, collect=collect), None
         out = {"fe": pt.fe, "mask": pt.mask, "n_phases": pt.n_phases, "valid": pt.valid}
         if props:
