@@ -251,6 +251,49 @@ def _relextrema_lanes(xh, xl, rows, N, smooth, P):
     }
 
 
+def _janus_lanes(ext, P):
+    """segment.janus_collect_extrema (collect.py:32-80 parity) in lanes
+    layout: merge all peaks but the last into one macrophase.
+
+    The merged-peak index is round(mean(maxima[:-1])): an f32 divide is
+    exact enough here — the quotient is a rational with denominator
+    n_max-1 <= P, so its distance from any .5 rounding boundary is at
+    least 1/(2P), far above f32 eps at index magnitudes.
+    """
+    maxima, minima = ext["maxima"], ext["minima"]
+    n_max, n_min = ext["n_max"], ext["n_min"]
+    nm1 = n_max - 1
+    msum = jnp.zeros_like(maxima[0])
+    for r in range(P):
+        msum = msum + jnp.where(r < nm1, maxima[r], np.int32(0))
+    mean = jnp.round(msum.astype(F32) / jnp.maximum(nm1, 1).astype(F32)).astype(I32)
+    mx_last = _row_select(maxima, nm1)
+    new_max = [mean if r == 0 else (mx_last if r == 1 else jnp.full_like(mean, BIG)) for r in range(P)]
+
+    lead = minima[0] == 0
+    last_mn = _row_select(minima, n_min - 1)
+    prev_mn = _row_select(minima, n_min - 2)
+    mid = (mean < last_mn) & (last_mn < mx_last)
+    tail = last_mn > mx_last
+
+    big = jnp.full_like(mean, BIG)
+    s0 = jnp.where(lead, np.int32(0), jnp.where(mid, last_mn, jnp.where(tail, prev_mn, big)))
+    s1 = jnp.where(lead & mid, last_mn, jnp.where(lead & tail, prev_mn, jnp.where((~lead) & tail, last_mn, big)))
+    s2 = jnp.where(lead & tail, last_mn, big)
+    new_min = [s0, s1, s2] + [big] * (P - 2)
+    cnt = lead.astype(I32) + mid.astype(I32) + np.int32(2) * tail.astype(I32)
+
+    apply = n_max > 2
+    valid = ext["valid"] & (~apply | ~tail | (n_min > 1))
+    out = dict(ext)
+    out["maxima"] = [jnp.where(apply, new_max[r], maxima[r]) for r in range(P)]
+    out["n_max"] = jnp.where(apply, np.int32(2), n_max)
+    out["minima"] = [jnp.where(apply, new_min[r], minima[r]) for r in range(P + 1)]
+    out["n_min"] = jnp.where(apply, cnt, n_min)
+    out["valid"] = valid
+    return out
+
+
 def _phase_bounds_lanes(ext, N, P):
     """segment.phase_bounds (gc_hist.pyx:498-520 min_ctr walk) in lanes
     layout: lists of [1,L] lefts/rights/mask rows."""
@@ -270,7 +313,7 @@ def _phase_bounds_lanes(ext, N, P):
     return lefts, rights, mask
 
 
-def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, barriers=False):
+def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None):
     """One block of the fused sweep in lanes layout.  Pure jnp on f32/i32:
     runs identically inside the Pallas kernel and under plain XLA (the
     CPU parity tests call it directly).
@@ -300,19 +343,25 @@ def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, 
     aoh, aol = ds.quick_two_sum(ph, pe)
     xh, xl = ds.ds_add(lnpi_h, lnpi_l + jnp.zeros_like(aol), aoh, aol)
 
-    return thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers)
+    return thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers, collect)
 
 
-def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=False):
+def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None):
     """Segment + integrate a [NPAD, L] pair surface in lanes layout: the
     post-reweight 4/5 of sweep_block_lanes, shared with the extrapolating
     kernels (pallas_mb.py) which build their own x and key rows first.
-    keys entries may be [NPAD, 1] (broadcast) or full [NPAD, L] pairs."""
+    keys entries may be [NPAD, 1] (broadcast) or full [NPAD, L] pairs.
+    collect: None or "janus" (the lanes analog of COLLECT_TRANSFORMS)."""
     brk = lax.optimization_barrier if barriers else (lambda t: t)
     neg_inf = F32(-jnp.inf)
     NPAD, L = xh.shape
 
     ext = _relextrema_lanes(xh, xl, rows, N, smooth, P)
+    if collect == "janus":
+        ext = _janus_lanes(ext, P)
+    elif collect is not None:
+        raise NotImplementedError("lanes collect transforms: only 'janus'")
+    real = rows < N
     lefts, rights, mask = _phase_bounds_lanes(ext, N, P)
 
     # per-phase max shifts; bins outside every phase fall back to the
@@ -323,7 +372,13 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
     in_p = []
     m_p = []
     for p in range(P):
-        ip = (rows >= lefts[p]) & (rows < rights[p]) & mask[p]
+        # real-row mask matters only for degenerate bounds (right == BIG
+        # on invalid structures): without it the pad rows — duplicates of
+        # the last real bin — would double-count into that phase's sum,
+        # diverging from the XLA path's masked output on exactly the
+        # points nobody checks (they are valid=False, but parity is
+        # bitwise everywhere by contract)
+        ip = (rows >= lefts[p]) & (rows < rights[p]) & mask[p] & real
         mh, ml = _masked_pair_max(xh, xl, ip, neg_inf)
         sh_h = jnp.where(ip, mh, sh_h)
         sh_l = jnp.where(ip, ml, sh_l)
@@ -334,19 +389,38 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
     th, tl = ds.ds_sub(xh, xl, sh_h, sh_l)
     eh, el = brk(ds.ds_exp_shifted(th, tl))
 
+    # Bin N-1 is handled separately: the endpoint-inclusion rule
+    # (right == N-1 -> N, gc_hist.pyx:516-518) is the ONE way adjacent
+    # phases overlap, and the shared per-bin shift above is only
+    # consistent for a bin's last covering phase.  Exclude the bin from
+    # the shared-e tree sums and add exp(x[N-1] - m_p) per phase exactly
+    # (a [1, L] ds_exp per phase — ~P/NPAD of one full exp).
+    not_last = rows != np.int32(N - 1)
+    xe_h, xe_l = xh[N - 1 : N], xl[N - 1 : N]
+    last_terms = []  # [P] of ([1,L],[1,L]) masked e-contribution of bin N-1
+    for p in range(P):
+        in_last = (lefts[p] <= np.int32(N - 1)) & (np.int32(N - 1) < rights[p]) & mask[p]
+        t0h, t0l = ds.ds_exp_shifted(*ds.ds_sub(xe_h, xe_l, m_p[p][0], m_p[p][1]))
+        last_terms.append((jnp.where(in_last, t0h, F32(0.0)), jnp.where(in_last, t0l, F32(0.0))))
+
     # prob * key rows once; per-phase masked pair tree sums
     pks = [(eh, el)]
+    key_last = [(jnp.ones_like(xe_h), jnp.zeros_like(xe_l))]
     if props:
         for kh, kl in keys:
             pks.append(ds.ds_mul(eh, el, kh + jnp.zeros_like(eh), kl + jnp.zeros_like(el)))
+            key_last.append((kh[N - 1 : N] + jnp.zeros_like(xe_h), kl[N - 1 : N] + jnp.zeros_like(xe_l)))
     pks = brk(pks)
     sums = []  # [P][K+1] of ([1,L],[1,L])
     for p in range(P):
         row = []
-        for qh, ql in pks:
-            wh = jnp.where(in_p[p], qh, F32(0.0))
-            wl = jnp.where(in_p[p], ql, F32(0.0))
-            row.append(ds.ds_sum_pairs(wh, wl, axis=0))
+        for q, (qh, ql) in enumerate(pks):
+            sel = in_p[p] & not_last
+            wh = jnp.where(sel, qh, F32(0.0))
+            wl = jnp.where(sel, ql, F32(0.0))
+            sh, sl = ds.ds_sum_pairs(wh, wl, axis=0)
+            term = ds.ds_mul(*last_terms[p], *key_last[q])
+            row.append(ds.ds_add(sh, sl, *term))
         sums.append(row)
     sums = brk(sums)
 
@@ -455,10 +529,10 @@ def _unpack(out_f, out_i, B, P, S, props):
 # ----------------------------------------------------------------------
 
 
-def _kernel(ah_ref, al_ref, cst_ref, out_f_ref, out_i_ref, *, N, NPAD, smooth, P, S, props):
+def _kernel(ah_ref, al_ref, cst_ref, out_f_ref, out_i_ref, *, N, NPAD, smooth, P, S, props, collect):
     lnpi_h, lnpi_l, op, keys, vol_pair = _unpack_cst(cst_ref[:], NPAD, S)
     out = sweep_block_lanes(
-        ah_ref[0], al_ref[0], lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props
+        ah_ref[0], al_ref[0], lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, collect=collect
     )
     f, i = _pack_rows(out, P, S, props)
     out_f_ref[0] = f
@@ -511,7 +585,7 @@ def _unpack_cst(cst, NPAD, S):
     return lnpi_h, lnpi_l, op, keys, (cst[vbase : vbase + 1], cst[vbase + 1 : vbase + 2])
 
 
-def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool):
+def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool, collect=None):
     """EAGER reference path (CPU tests): the same lanes body op-by-op.
 
     Deliberately NOT jitted: XLA:CPU's fusion passes blow up on this DAG
@@ -524,13 +598,13 @@ def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool):
     P, S = meta.max_phases, meta.nspec
     ah, al, cst, N, NPAD, _ = _prep(h, meta, mu_grid, block=B)
     lnpi_h, lnpi_l, op, keys, vol = _unpack_cst(cst, NPAD, S)
-    out = sweep_block_lanes(ah[0], al[0], lnpi_h, lnpi_l, op, keys, vol, N, meta.smooth, P, props)
+    out = sweep_block_lanes(ah[0], al[0], lnpi_h, lnpi_l, op, keys, vol, N, meta.smooth, P, props, barriers=True, collect=collect)
     f, i = _pack_rows(out, P, S, props)
     return _unpack(f, i, B, P, S, props)
 
 
-@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret"))
-def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, interpret: bool):
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "collect"))
+def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, interpret: bool, collect=None):
     B = mu_grid.shape[0]
     P, S = meta.max_phases, meta.nspec
     ah, al, cst, N, NPAD, nb = _prep(h, meta, mu_grid, block)
@@ -546,7 +620,7 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
     # constant under x64, and Mosaic rejects i64 in the index-map return
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, NPAD=NPAD, smooth=meta.smooth, P=P, S=S, props=props),
+        partial(_kernel, N=N, NPAD=NPAD, smooth=meta.smooth, P=P, S=S, props=props, collect=collect),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -579,7 +653,7 @@ def default_block(n_bins: int) -> int:
     return b
 
 
-def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int | None = None, mode: str | None = None):
+def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int | None = None, mode: str | None = None, collect=None):
     """Drop-in for pipeline.mu_sweep_thermo running the fused point
     pipeline as one double-single Pallas kernel (see module docstring).
 
@@ -597,5 +671,5 @@ def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, blo
         block = default_block(h.lnpi.shape[-1])
     mu_grid = jnp.asarray(mu_grid, dtype=jnp.float64)
     if mode == "xla":
-        return _sweep_ds_xla(h, meta, mu_grid, props)
-    return _sweep_ds_pallas(h, meta, mu_grid, props, block, mode == "interpret")
+        return _sweep_ds_xla(h, meta, mu_grid, props, collect)
+    return _sweep_ds_pallas(h, meta, mu_grid, props, block, mode == "interpret", collect)

@@ -94,14 +94,14 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
     force a path.
     """
     use_pallas = engine == "pallas"
-    if engine == "auto" and collect is None and not seg_f32:
+    if engine == "auto" and collect in (None, "janus") and not seg_f32:
         if jax.default_backend() == "tpu" and _PALLAS_OK.get("tpu", True):
             use_pallas = True
     if use_pallas:
         from .pallas_sweep import mu_sweep_thermo_ds
 
         try:
-            out = mu_sweep_thermo_ds(h, meta, jnp.asarray(mu_grid, dtype=jnp.float64), props=props)
+            out = mu_sweep_thermo_ds(h, meta, jnp.asarray(mu_grid, dtype=jnp.float64), props=props, collect=collect)
             _PALLAS_OK["tpu"] = True
             return out
         except Exception:

@@ -101,3 +101,28 @@ def test_max_phases_padding(fixture_hist):
         rtol=0,
         atol=1e-13,
     )
+
+
+def test_janus_collect_lanes_parity(fixture_hist):
+    """Lanes-layout janus collect vs the XLA pipeline collect path on
+    multi-peak surfaces (3 and 4 peaks, big-last and big-first)."""
+    hh, meta = fixture_hist
+    n = hh.lnpi.shape[-1]
+    x = np.linspace(0.0, 1.0, n)
+    surfaces = [
+        5 * np.exp(-((x - 0.15) ** 2) / 0.004) + 4 * np.exp(-((x - 0.45) ** 2) / 0.003) + 12 * np.exp(-((x - 0.8) ** 2) / 0.006),
+        sum(a * np.exp(-((x - c) ** 2) / w) for c, w, a in [(0.1, 0.002, 6), (0.35, 0.002, 5), (0.6, 0.002, 7), (0.85, 0.003, 14)]),
+        15 * np.exp(-((x - 0.2) ** 2) / 0.006) + 4 * np.exp(-((x - 0.55) ** 2) / 0.002) + 5 * np.exp(-((x - 0.85) ** 2) / 0.003),
+        8 * np.exp(-((x - 0.3) ** 2) / 0.005) + 9 * np.exp(-((x - 0.75) ** 2) / 0.005),  # 2 peaks: no-op
+    ]
+    mus = np.linspace(4.9, 5.1, 24)
+    for y in surfaces:
+        h2 = hh.replace(lnpi=hh.lnpi * 0 + y)
+        got = mu_sweep_thermo_ds(h2, meta, mus, props=True, mode="xla", collect="janus")
+        want = P.mu_sweep_thermo(h2, meta, mus, props=True, collect="janus", engine="xla")
+        for k in ("valid", "mask", "n_phases", "left", "right"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+        msk = np.asarray(want["mask"])
+        for k in ("fe", "ntot"):
+            d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+            assert d < 1e-10, (k, d)
