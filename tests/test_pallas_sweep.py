@@ -126,3 +126,47 @@ def test_janus_collect_lanes_parity(fixture_hist):
         for k in ("fe", "ntot"):
             d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
             assert d < 1e-10, (k, d)
+
+
+def test_randomized_structures_parity(fixture_hist, rng):
+    """40 randomized surfaces x 2 smooth values through kernel-lanes vs
+    XLA pipeline: segmentation fields bitwise everywhere, fe/props at
+    pair precision on valid lanes.  Written after the endpoint-overlap
+    bug (right==N-1 bump sharing bin N-1 between phases) slipped past
+    the curated surfaces — the generator here biases toward endpoint
+    minima/maxima and near-edge peaks."""
+    import dataclasses
+
+    hh, meta = fixture_hist
+    n = hh.lnpi.shape[-1]
+    x = np.linspace(0.0, 1.0, n)
+    mus = np.linspace(4.85, 5.15, 16)
+    for smooth in (1, 2):
+        meta_s = dataclasses.replace(meta, smooth=smooth)
+        for case in range(20):
+            kind = case % 5
+            if kind == 0:  # peaks crowding the right edge (bump territory)
+                y = 8 * np.exp(-((x - 0.8) ** 2) / 0.003) + 10 * np.exp(-((x - 0.97) ** 2) / 0.001)
+                y += rng.normal(size=n) * 0.1
+            elif kind == 1:  # minimum exactly at N-1
+                y = 9 * np.exp(-((x - 0.5) ** 2) / 0.01) - 5 * x
+                y += rng.normal(size=n) * 0.05
+            elif kind == 2:
+                k = int(rng.integers(2, 5))
+                y = sum(
+                    a * np.exp(-((x - c) ** 2) / w)
+                    for c, w, a in zip(rng.random(k), 0.002 + 0.01 * rng.random(k), 4 + 12 * rng.random(k))
+                )
+            elif kind == 3:  # rough
+                y = rng.normal(size=n) * 3
+            else:  # integer plateaus
+                y = rng.integers(-3, 4, size=n).astype(float)
+            h2 = hh.replace(lnpi=hh.lnpi * 0 + y)
+            got = mu_sweep_thermo_ds(h2, meta_s, mus, props=True, mode="xla")
+            want = P.mu_sweep_thermo(h2, meta_s, mus, props=True, engine="xla")
+            for k in ("valid", "mask", "n_phases", "left", "right"):
+                np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=(k, smooth, case))
+            ok = np.asarray(want["valid"])[:, None] & np.asarray(want["mask"])
+            for k in ("fe", "ntot", "u"):
+                d = np.max(np.abs(np.where(ok, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+                assert d < 1e-9, (k, smooth, case, d)
