@@ -179,12 +179,16 @@ def _start_oracle(spec):
     )
     p.stdin.write(json.dumps(spec))
     p.stdin.close()
+    p.stdin = None  # communicate() must not try to flush the closed pipe
     return p
 
 
 def _join_oracle(p):
-    out, err = p.stdout.read(), p.stderr.read()
-    r = type("R", (), {"returncode": p.wait(), "stdout": out, "stderr": err})
+    # communicate() drains stdout and stderr concurrently: sequential
+    # reads deadlock once the child fills the stderr pipe buffer with
+    # XLA warnings/tracebacks while the parent blocks on stdout
+    out, err = p.communicate()
+    r = type("R", (), {"returncode": p.returncode, "stdout": out, "stderr": err})
     if r.returncode != 0:
         print(json.dumps({"metric": "oracle_failure", "value": 0.0, "unit": "abs", "vs_baseline": 0.0}))
         sys.stderr.write(r.stderr[-2000:])
@@ -384,7 +388,7 @@ def main():
     for k, (i, a, order) in enumerate(mb_idx):
         r = ref["mb"][k]
         msk = mb_out[order]["mask"][i, a]
-        assert msk.sum() == r["n_phases"], "mb phase count mismatch at %s" % ((mu, beta, order),)
+        assert msk.sum() == r["n_phases"], "mb phase count mismatch at %s" % (spec["mb_points"][k],)
         worst = max(worst, np.max(np.abs(mb_out[order]["fe"][i, a][msk] - np.array(r["fe"]))))
     _gate("mu_beta", worst)
 

@@ -94,11 +94,9 @@ def _source_derivs(h: Hist, meta: HistMeta, mu1_v, beta_target, cutoff, order: i
     unbatched arrays; vmap broadcasts them).  Before this hoist the
     per-mu _mom_loop sg chains dominated the whole grid (measured:
     stage 1 was ~25x the per-point cost of the mu-beta sweep)."""
-    base = DerivEngine(h, meta)
-    base.dBMU(False)
-    if order >= 2:
-        base.dBMU2(False)
-    shared_sg = {k: v for k, v in base._memo.items() if k[0].startswith("sg")}
+    from ..core.derivs import warm_sg_memo
+
+    shared_sg = warm_sg_memo(h, meta, order)
 
     def one(mu):
         hh = _ops.reweight(h, mu)

@@ -75,6 +75,20 @@ def _mu_sweep_thermo_xla(h: Hist, meta: HistMeta, mu_grid, props: bool = True, c
 _PALLAS_OK: dict = {}  # per-process memo: does the Mosaic kernel compile here?
 
 
+def _pallas_failed(kernel: str, exc: Exception):
+    """Record a kernel failure: warn visibly (a silent 2-10x slowdown is
+    worse than a warning) and disable only THAT kernel for the process."""
+    import warnings
+
+    warnings.warn(
+        "pallas %s kernel failed (%r); falling back to the XLA engine for "
+        "the rest of the process" % (kernel, exc),
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    _PALLAS_OK[kernel] = False
+
+
 def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False, engine: str = "auto"):
     """Reweight + thermo over a 1-D grid of mu_1 values in one launch.
 
@@ -94,20 +108,22 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
     force a path.
     """
     use_pallas = engine == "pallas"
+    if use_pallas and seg_f32:
+        raise ValueError("seg_f32 is an XLA-engine option; the pallas kernel's pair compares are already exact")
     if engine == "auto" and collect in (None, "janus") and not seg_f32:
-        if jax.default_backend() == "tpu" and _PALLAS_OK.get("tpu", True):
+        if jax.default_backend() == "tpu" and _PALLAS_OK.get("sweep", True):
             use_pallas = True
     if use_pallas:
         from .pallas_sweep import mu_sweep_thermo_ds
 
         try:
             out = mu_sweep_thermo_ds(h, meta, jnp.asarray(mu_grid, dtype=jnp.float64), props=props, collect=collect)
-            _PALLAS_OK["tpu"] = True
+            _PALLAS_OK["sweep"] = True
             return out
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise
-            _PALLAS_OK["tpu"] = False  # Mosaic rejected the kernel here: stop retrying
+            _pallas_failed("sweep", e)
     return _mu_sweep_thermo_xla(h, meta, mu_grid, props, collect, seg_f32)
 
 
@@ -147,7 +163,10 @@ def mu_beta_sweep_body(
         else:
             hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True, first_order_mom=first_order_mom, sg_memo=sg_memo)
             (hh, pt), pp = thermo(hh, meta, props=False, collect=collect), None
-        out = {"fe": pt.fe, "mask": pt.mask, "n_phases": pt.n_phases, "valid": pt.valid}
+        # left/right included so the output pytree matches the pallas
+        # engine's regardless of which path ran (engine="auto" must not
+        # change the schema between backends)
+        out = {"fe": pt.fe, "mask": pt.mask, "left": pt.left, "right": pt.right, "n_phases": pt.n_phases, "valid": pt.valid}
         if props:
             out.update(pp)
         return out
@@ -197,13 +216,15 @@ def mu_beta_sweep_thermo(
     histograms, off-TPU, or Mosaic failure.  "xla"/"pallas" force a path.
     """
     use_pallas = engine == "pallas"
+    if use_pallas and collect is not None:
+        raise NotImplementedError("the pallas mu-beta kernel has no collect transform; use engine='xla' or 'auto'")
     if (
         engine == "auto"
         and (order == 1 or (order == 2 and meta.nspec == 2))
         and collect is None
         and not meta.used_ke
         and jax.default_backend() == "tpu"
-        and _PALLAS_OK.get("tpu", True)
+        and _PALLAS_OK.get("mb", True)
     ):
         use_pallas = True
     if use_pallas:
@@ -213,12 +234,12 @@ def mu_beta_sweep_thermo(
             out = mu_beta_sweep_thermo_ds(
                 h, meta, mu_grid, beta_grid, dmu_grid, props=props, order=order, first_order_mom=first_order_mom
             )
-            _PALLAS_OK["tpu"] = True
+            _PALLAS_OK["mb"] = True
             return out
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise
-            _PALLAS_OK["tpu"] = False
+            _pallas_failed("mb", e)
     return _mu_beta_sweep_thermo_xla(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
 
 

@@ -142,7 +142,10 @@ def sharded_relextrema(mesh: Mesh, lnpi, smooth: int, max_phases: int) -> Extrem
         fmin = lax.all_gather(fmin_l, ax, tiled=True)
         return extrema_from_flags(xg, fmax, fmin, max_phases)
 
-    fn = shard_map(body, mesh=mesh, in_specs=spec, out_specs=Psp(), check_vma=False)
+    try:
+        fn = shard_map(body, mesh=mesh, in_specs=spec, out_specs=Psp(), check_vma=False)
+    except TypeError:  # pre-0.9 fallback import spells the kwarg check_rep
+        fn = shard_map(body, mesh=mesh, in_specs=spec, out_specs=Psp(), check_rep=False)
     return jax.jit(fn)(lnpi)
 
 
