@@ -7,7 +7,6 @@ Metrics (VERDICT r1 item 2: cover the extrapolating pipelines, not just the
 cheapest sweep):
 
   xla_sweep_points_per_sec           mu_1 sweep, forced XLA-emulated-f64 engine
-  segf32_sweep_points_per_sec        XLA engine + opt-in f32 extrema decisions
   mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
   mu_beta_extrap_o2_points_per_sec   same at order 2
   isopleth_grid_cells_per_sec        binary isopleth make_grid surface
@@ -37,6 +36,16 @@ FIXTURE = "/root/reference/unittests/reference/test.nc"
 # order-2 moment extrapolation needs max_order >= 3; test2.nc stores 4
 FIXTURE2 = "/root/reference/unittests/reference/test2.nc"
 TARGET = 1.0e6  # points/sec north star (BASELINE.md)
+
+
+_T0 = time.time()
+
+
+def _stage(name):
+    """Stage timestamps on stderr: diagnose where a slow-tunnel run's
+    budget goes (compiles vs timed runs vs oracle)."""
+    sys.stderr.write("[bench +%6.1fs] %s\n" % (time.time() - _T0, name))
+    sys.stderr.flush()
 
 
 def _emit(metric, value, unit, vs):
@@ -258,8 +267,10 @@ def main():
     mu_lo, mu_hi = -2.0, 7.0
     sweep = lambda mus: P.mu_sweep_thermo(hh, meta, mus, props=True)  # noqa: E731
     mus0 = jax.numpy.linspace(mu_lo, mu_hi, B)
+    _stage("headline compile+warmup")
     out_sweep = sweep(mus0)
     sync(out_sweep["fe"])
+    _stage("headline warm done")
     assert bool(np.asarray(out_sweep["valid"]).all()), "padding overflow: some points need more than max_phases phases"
     sweep_idx = np.unique(rng.integers(0, B, size=64 if quick else 1024))
     mus_np = np.asarray(mus0)
@@ -278,6 +289,7 @@ def main():
     msk_dev = out_sweep["mask"]
     variant_metrics = []
     xf = lambda: P.mu_sweep_thermo(hh, meta, mus0, props=True, engine="xla")  # noqa: E731
+    _stage("xla variant")
     xo = xf()
     sync(xo["fe"])
     xw = max(_dev_worst(xo["fe"], out_sweep["fe"], msk_dev), _dev_worst(xo["ntot"], out_sweep["ntot"], msk_dev))
@@ -291,18 +303,9 @@ def main():
     x_secs = (time.perf_counter() - t0) / n_rep
     variant_metrics.append(("xla_sweep_points_per_sec", B / x_secs, "points/s", B / x_secs / TARGET))
 
-    sf = lambda: P.mu_sweep_thermo(hh, meta, mus0, props=True, seg_f32=True)  # noqa: E731
-    so = sf()
-    sync(so["fe"])
-    assert bool(jnp.all((so["left"] == out_sweep["left"]) & (so["right"] == out_sweep["right"]) & (so["mask"] == msk_dev))), "seg_f32 flipped a decision on the fixture workload"
-    _gate("seg_f32", _dev_worst(so["fe"], out_sweep["fe"], msk_dev))
-    # seg_f32 forces the XLA engine; its rate is the XLA path + f32 compares
-    n_rep = 1 if quick else 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        sync(sf()["fe"])
-    sf_secs = (time.perf_counter() - t0) / n_rep
-    variant_metrics.append(("segf32_sweep_points_per_sec", B / sf_secs, "points/s", B / sf_secs / TARGET))
+    # (seg_f32 and the forced-XLA o1 reference were measured and recorded
+    # in PERFORMANCE.md; dropped from the routine bench to keep the fresh-
+    # compile budget inside the watchdog on slow tunnel days)
 
     # ---------------- (mu, beta, dMu) joint Taylor sweeps ----------------
     h2 = _trimmed_mb_hist(histogram)
@@ -313,6 +316,7 @@ def main():
     mb_mus = np.linspace(mu_lo, mu_hi, M)
     mb_betas = np.linspace(0.92, 1.08, A)
     mb_dmus = np.linspace(-5.5, -4.5, A)[:, None]
+    _stage("mb compiles")
     mb_out = {}
     mb_secs = {}
     mb_idx = []
@@ -332,16 +336,10 @@ def main():
         for i, a in zip(rng.integers(0, M, 16), rng.integers(0, A, 16)):
             spec["mb_points"].append([float(mb_mus[i]), float(mb_betas[a]), float(mb_dmus[a, 0]), order])
             mb_idx.append((int(i), int(a), order))
-    # forced-XLA order-1 reference (the pre-kernel production path)
-    fx = lambda: P.mu_beta_sweep_thermo(hh2, meta2, mb_mus, mb_betas, mb_dmus, order=1, props=True, engine="xla")  # noqa: E731
-    o = fx()
-    sync(o["fe"])
-    t0 = time.perf_counter()
-    for _ in range(1 if quick else 2):
-        sync(fx()["fe"])
-    mb_xla_secs = (time.perf_counter() - t0) / (1 if quick else 2)
+
 
     # ---------------- binary isopleth surface ---------------------------
+    _stage("isopleth")
     srcs = [histogram(FIXTURE, 1.0, [5.0, 0.0], smooth=1), histogram(FIXTURE, 1.0, [5.0, 1.0], smooth=1)]
     iso = isopleth(srcs, spec["iso_beta"], order=spec["iso_order"])
     mu1_b, dmu2_b = (-9.0, -4.0), (-4.95, -4.05)
@@ -359,6 +357,7 @@ def main():
 
     # ---------------- headline timing ------------------------------------
     # (the CPU oracle grinds its 1k-point host loop concurrently)
+    _stage("headline timing")
     oracle_proc = _start_oracle(spec)
     n_rep = 2 if quick else 8
     grids = [jax.numpy.linspace(mu_lo + 0.001 * k, mu_hi, B) for k in range(n_rep)]
@@ -370,6 +369,7 @@ def main():
     sweep_secs = (time.perf_counter() - t0) / n_rep
 
     # ---------------- parity gates (CPU oracle) --------------------------
+    _stage("oracle join")
     ref = _join_oracle(oracle_proc)
 
     worst = 0.0
@@ -408,7 +408,6 @@ def main():
     # ---------------- report ---------------------------------------------
     for vm in variant_metrics:
         _emit(*vm)
-    _emit("mu_beta_extrap_o1_xla_points_per_sec", M * A / mb_xla_secs, "points/s", M * A / mb_xla_secs / TARGET)
     _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)
     _emit("mu_beta_extrap_o2_points_per_sec", M * A / mb_secs[2], "points/s", M * A / mb_secs[2] / TARGET)
     host_rate = len(spec["iso_cells"]) / ref["iso_host_secs"] if ref["iso_host_secs"] > 0 else 0.0
