@@ -33,7 +33,7 @@ def _tpu_reachable():
             res = subprocess.run(
                 [sys.executable, "-c", "import jax, jax.numpy as jnp; print(jnp.arange(8.0).sum())"],
                 capture_output=True,
-                timeout=240,
+                timeout=600,
                 text=True,
             )
             _TPU_STATE["ok"] = res.returncode == 0 and "28.0" in res.stdout
