@@ -148,12 +148,15 @@ def _grid_eval(
             xi = jnp.concatenate(
                 [jnp.atleast_1d(beta_target - beta_ref), jnp.atleast_1d(dmu2t - dmu22[s])]
             )
+            # the normalization the class path applies here cancels: the
+            # mix of two per-source constants is one per-cell constant,
+            # and fe/props/segmentation are all shift-invariant
             ln = lnpi2[s] + jnp.einsum("s,sn->n", xi, d12[s])
             mk = momk2[s] + jnp.einsum("s,skn->kn", xi, m1k2[s])
             if order >= 2:
                 ln = ln + 0.5 * jnp.einsum("r,rqn,q->n", xi, H2[s], xi)
                 mk = mk + 0.5 * jnp.einsum("r,rqkn,q->kn", xi, Hmk2[s], xi)
-            return normalize_lnpi(ln), mk
+            return ln, mk
 
         lnL, mkL = extrap(0)
         lnR, mkR = extrap(1)
@@ -163,11 +166,15 @@ def _grid_eval(
 
         m = jnp.max(ln_m)
         e = jnp.exp(ln_m - m)
-        pt, props = _segment.thermo_key_core(ln_m, e, mk_m, meta, volume, shift=m)
+        # segment ONCE: thermo bounds and the is_safe extremum share it
+        ext = _segment.relextrema(ln_m, meta.smooth, meta.max_phases)
+        n = ln_m.shape[-1]
+        lefts, rights, pmask = _segment.phase_bounds(ext, n, meta.max_phases)
+        bounds = (lefts, rights, pmask, ext.n_max, ext.valid)
+        pt, props = _segment.thermo_key_core(ln_m, e, mk_m, meta, volume, shift=m, bounds=bounds)
 
         stable = jnp.argmin(jnp.where(pt.mask, pt.fe, jnp.inf))
         # is_safe: last maximum at least `cutoff` above the tail
-        ext = _segment.relextrema(ln_m, meta.smooth, meta.max_phases)
         last_max = _segment._take_small(ext.maxima, ext.n_max - 1)
         safe = (_segment._take_small(ln_m, last_max) - ln_m[-1]) >= cutoff
         ok = pt.valid & safe & edge2[0] & edge2[1]
@@ -368,19 +375,25 @@ class isopleth(object):
             beta_ref = float(hhj.curr_beta)
 
         # stage 2 prep: bracket pre-gather via host-known indices (lr is a
-        # host bisect product) — the device kernel sees zero dynamic indices
+        # host bisect product).  One constant-index take per tensor: the
+        # previous per-row python jnp.stack built NY slice ops per tensor
+        # and its host-side assembly was ~40% of a warm grid block.
         lrL, lrR = lr[:, 0].tolist(), lr[:, 1].tolist()
+        uniq = sorted(outs)
+        pos = {j: i for i, j in enumerate(uniq)}
+        sel = jnp.asarray(
+            np.array([[pos[j] for j in lrL], [pos[j] for j in lrR]]), dtype=jnp.int32
+        )  # [2, NY]
 
         def both(k):
-            x = jnp.stack([jnp.stack([outs[j][k] for j in lrL]), jnp.stack([outs[j][k] for j in lrR])])
+            stacked = jnp.stack([outs[j][k] for j in uniq])  # [W, NX, ...]
+            x = jnp.take(stacked, sel, axis=0)  # [2, NY, NX, ...] constant gather
             if mesh is not None:
                 # pin the mu_1 axis (axis 2 after the [2, NY, ...] stack)
                 x = jax.device_put(x, NamedSharding(mesh, _Psp(None, None, mesh.axis_names)))
             return x
 
-        mom_key_b = jnp.stack(
-            [jnp.stack([mom_key_w[j] for j in lrL]), jnp.stack([mom_key_w[j] for j in lrR])]
-        )
+        mom_key_b = jnp.take(jnp.stack([mom_key_w[j] for j in uniq]), sel, axis=0)
         if mesh is not None:
             mom_key_b = jax.device_put(mom_key_b, NamedSharding(mesh, _Psp()))
 

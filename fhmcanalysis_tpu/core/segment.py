@@ -514,15 +514,22 @@ def thermo_key_core(
     shift=0.0,
     collect=None,
     seg_f32: bool = False,
+    bounds=None,
 ) -> tuple[PhaseThermo, dict]:
     """thermo_core_props given pre-sliced key rows (callers that carry
     only the key rows through extrapolation — e.g. isopleth grids — avoid
-    moving the full [A,N] tensor entirely)."""
+    moving the full [A,N] tensor entirely).
+
+    bounds: optional precomputed (lefts, rights, mask, n_phases, valid)
+    from _segment_bounds/phase_bounds — callers that also need the raw
+    extrema (e.g. for is_safe) segment once and share."""
     P = meta.max_phases
     N = lnpi.shape[-1]
     S = meta.nspec
     idx = jnp.arange(N, dtype=jnp.int32)
-    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
+    if bounds is None:
+        bounds = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
+    lefts, rights, mask, n_phases, valid = bounds
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
     # a leading ones row folds the wsum reduction into the same pass;
