@@ -271,7 +271,7 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="xla"):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
@@ -285,9 +285,20 @@ class isopleth(object):
         embarrassingly parallel along mu_1, so the surface is identical to
         the single-device result; the mu_1 axis is padded per block to the
         device count and trimmed on return.
+
+        engine: "xla" (default, the batched two-stage path) or "pallas"
+        (core/pallas_iso.py — the fused double-single cell kernel; opt-in
+        because its Mosaic compile is the largest of the kernels, worth
+        it for production-size grids).  pallas is single-device (no mesh).
         """
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
+
+        if engine == "pallas":
+            if mesh is not None:
+                raise NotImplementedError("pallas isopleth engine is single-device; drop mesh= or use engine='xla'")
+            self._grid_block_kernel(mu1_v_full, dmu2_v, m)
+            return self.data["Z"], (self.data["X"], self.data["Y"])
 
         # the reference hits this per pixel inside temp_dmu_extrap
         # (skip_mom=False at gc_binary.pyx:450-452) and print-continues,
@@ -424,6 +435,29 @@ class isopleth(object):
             "F.E./kT": np.asarray(fe)[:, :nx_out],
             "valid": np.asarray(ok)[:, :nx_out],
         }
+
+    def _grid_block_kernel(self, mu1_v, dmu2_v, m, mode=None):
+        """Whole surface through the fused pallas cell kernel."""
+        from ..core.pallas_iso import iso_grid_ds
+
+        lr, wts = self._bracket(dmu2_v, m)
+        hs = self.data["histograms"]
+        if int(hs[0].data["max_order"]) < self.meta["order"] + 1:
+            raise Exception("Maximum order stored in simulation not high enough to calculate this order of extrapolation")
+        srcs = tuple(h._hist() for h in hs)
+        metas = tuple(h._meta() for h in hs)
+        n = srcs[0].lnpi.shape[-1]
+        for hh in srcs:
+            if hh.lnpi.shape[-1] != n:
+                raise Exception("Isopleth source histograms must share the same order-parameter range")
+        z, rho, fe, ok = iso_grid_ds(
+            srcs, metas, mu1_v, dmu2_v, lr, wts,
+            self.meta["beta"], self.meta["order"], self.meta["cutoff"], mode=mode,
+        )
+        self.data["Z"] = np.asarray(z)
+        self.data["density"] = np.asarray(rho)
+        self.data["F.E./kT"] = np.asarray(fe)
+        self.data["valid"] = np.asarray(ok)
 
     # the chunked variant of the reference is subsumed by the batched path
     make_grid_multi = make_grid

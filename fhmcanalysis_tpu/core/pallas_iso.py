@@ -1,0 +1,393 @@
+"""Fused isopleth cell evaluation as a Pallas double-single kernel.
+
+One lane = one (mu_1, dMu_2) grid cell of the binary isopleth surface
+(gc_binary.pyx:355-476): select the two bracketing source histograms,
+reweight + jointly Taylor-extrapolate each (the shared
+pallas_mb.extrap_source_lanes body, orders 1-2), inverse-distance mix,
+then segment/integrate via the shared thermo_lanes stage, apply the
+edge-effect and is_safe guards, and emit the most-stable phase's
+(x_1, density, F.E./kT).
+
+Source selection is a one-hot combine over the W sources' constant rows
+(W is small — 2-8 histograms per isopleth); every per-source constant
+(lnpi, key rows, semigrand derivative rows, mu_ref, dMu_2) lives in the
+kernel's VMEM const block.  Per-lane cost is ~2x the mu-beta kernel (two
+bracket sides) plus the W-way selects and the mix.
+
+This engine is OPT-IN (isopleth.make_grid(engine="pallas")): its Mosaic
+compile is the largest of the three kernels, so the default stays the
+batched XLA path; use it for production-size grids where the compile
+amortizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ds
+from .pallas_mb import _bcast_scalar, _const_block_mb, _unpack_cst_mb, extrap_source_lanes
+from .pallas_sweep import F32, I32, _npad, default_block, thermo_lanes
+from .state import Hist, HistMeta
+
+__all__ = ["iso_grid_ds"]
+
+
+def _real_mask(rows, N):
+    return rows < N
+
+
+def _sel_pair(pairs, idx):
+    """One-hot combine of W constant pair rows on a per-lane index."""
+    hh = jnp.zeros(jnp.broadcast_shapes(pairs[0][0].shape, idx.shape), F32)
+    ll = jnp.zeros_like(hh)
+    for j, (ph, pl_) in enumerate(pairs):
+        on = idx == j
+        hh = hh + jnp.where(on, ph, F32(0.0))
+        ll = ll + jnp.where(on, pl_, F32(0.0))
+    return hh, ll
+
+
+def _sel_src(srcs, idx):
+    """One-hot combine a whole per-source dict (pallas_mb src layout)."""
+    out = {"lnpi": _sel_pair([s["lnpi"] for s in srcs], idx)}
+    K = len(srcs[0]["keys"])
+    out["keys"] = [_sel_pair([s["keys"][k] for s in srcs], idx) for k in range(K)]
+    out["dkeydB"] = [_sel_pair([s["dkeydB"][k] for s in srcs], idx) for k in range(K)]
+    S1 = len(srcs[0]["dkeydMU"])
+    out["dkeydMU"] = [
+        [_sel_pair([s["dkeydMU"][q][k] for s in srcs], idx) for k in range(K)] for q in range(S1)
+    ]
+    out["dmuref"] = [_sel_pair([s["dmuref"][q] for s in srcs], idx) for q in range(S1)]
+    if srcs[0].get("o2") is not None:
+        f11 = _sel_pair([s["o2"][0] for s in srcs], idx)
+        sgB2 = [_sel_pair([s["o2"][1][k] for s in srcs], idx) for k in range(K)]
+        sgX = [_sel_pair([s["o2"][2][k] for s in srcs], idx) for k in range(K)]
+        sgM2 = [_sel_pair([s["o2"][3][k] for s in srcs], idx) for k in range(K)]
+        prows = [_sel_pair([s["o2"][4 + i] for s in srcs], idx) for i in range(3)]
+        out["o2"] = (f11, sgB2, sgX, sgM2, *prows)
+    else:
+        out["o2"] = None
+    return out
+
+
+def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cutoff, barriers=False):
+    """One block of isopleth cells in lanes layout (pure jnp).
+
+    lane_f: [8, L] f32 — pairs (mu1, dmu2_t, w0, w1)
+    lane_i: [2, L] i32 — left/right source indices
+    cst_list: per-source dicts (pallas_mb src layout + mu_ref/dmu2 pairs)
+    shared: dict(op [NPAD,1], beta_ref pair, dB pair, vol pair)
+    """
+    op = shared["op"]
+    NPAD = op.shape[0]
+    L = lane_f.shape[-1]
+    rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
+    real = _real_mask(rows, N)
+
+    def fpair(i):
+        return lane_f[2 * i : 2 * i + 1], lane_f[2 * i + 1 : 2 * i + 2]
+
+    mu1 = fpair(0)
+    dmu2t = fpair(1)
+    w0 = fpair(2)
+    w1 = fpair(3)
+    idxL = lane_i[0:1]
+    idxR = lane_i[1:2]
+
+    brh, brl = shared["beta_ref"]
+    br_row = (brh + jnp.zeros_like(mu1[0]), brl + jnp.zeros_like(mu1[1]))
+    db_row = (shared["dB"][0] + jnp.zeros_like(mu1[0]), shared["dB"][1] + jnp.zeros_like(mu1[1]))
+    last = np.int32(N - 1)
+
+    def side(idx):
+        src = _sel_src(cst_list, idx)
+        mu_ref = _sel_pair([s["mu_ref"] for s in cst_list], idx)
+        dmu2_j = _sel_pair([s["dmu2"] for s in cst_list], idx)
+        a = ds.ds_mul(*br_row, *ds.ds_sub(*mu1, *mu_ref))
+        dd = ds.ds_sub(*dmu2t, *dmu2_j)
+        lanes = {"a": a, "mu": mu1, "db": db_row, "dds": [dd]}
+        xh, xl, keys2, (mh, ml) = extrap_source_lanes(
+            op, real, src, lanes, (brh, brl), S, order, False, True
+        )
+        # edge guard on the REWEIGHTED surface (isopleth.py stage 1):
+        # (max - cutoff) > lnpi_rw[N-1]; x_rw[N-1] = lnpi[N-1] + a*op[N-1]
+        ln_l = (src["lnpi"][0][last : last + 1], src["lnpi"][1][last : last + 1])
+        op_l = op[last : last + 1] + jnp.zeros_like(a[0])  # [1,L]
+        tail = ds.ds_add(*ln_l, *ds.ds_mul(*a, op_l, jnp.zeros_like(op_l)))
+        mc = ds.ds_add_f32(mh, ml, F32(-cutoff))
+        edge = ds.ds_gt(*mc, *tail)
+        return xh, xl, keys2, edge
+
+    xLh, xLl, keysL, edgeL = side(idxL)
+    xRh, xRl, keysR, edgeR = side(idxR)
+
+    # inverse-distance mix (gc_binary.pyx:457-460): (L w0 + R w1)/(w0+w1)
+    wsum = ds.ds_add(*w0, *w1)
+
+    def mix(ah, al, bh, bl):
+        t0 = ds.ds_mul(ah, al, *_bcast_scalar2(w0, ah))
+        t1 = ds.ds_mul(bh, bl, *_bcast_scalar2(w1, bh))
+        num = ds.ds_add(*t0, *t1)
+        return ds.ds_div(*num, *_bcast_scalar2(wsum, num[0]))
+
+    ln_m = mix(xLh, xLl, xRh, xRl)
+    keys_m = [mix(keysL[k][0], keysL[k][1], keysR[k][0], keysR[k][1]) for k in range(S + 1)]
+
+    pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers)
+
+    # is_safe (gc_hist.pyx:556-596): value at the LAST maximum minus the
+    # tail must reach cutoff; the last phase's pair max IS that value
+    n_max = pt["n_phases"]
+    lmh = jnp.zeros_like(mu1[0])
+    lml = jnp.zeros_like(mu1[1])
+    for p_i in range(P):
+        on = (n_max - 1) == p_i
+        lmh = lmh + jnp.where(on, pt["phase_max"][p_i][0], F32(0.0))
+        lml = lml + jnp.where(on, pt["phase_max"][p_i][1], F32(0.0))
+    tail_m = (ln_m[0][last : last + 1], ln_m[1][last : last + 1])
+    diff = ds.ds_sub(lmh, lml, *tail_m)
+    safe = ~ds.ds_lt(*diff, F32(cutoff), F32(0.0))
+    ok = pt["valid"] & safe & edgeL & edgeR
+
+    # most stable phase: masked argmin of the pair free energies
+    best_h = jnp.full_like(mu1[0], jnp.inf)
+    best_l = jnp.full_like(mu1[1], jnp.inf)
+    stable = jnp.zeros_like(idxL)
+    for p_i in range(P):
+        fh, fl = pt["fe"][p_i]
+        cand_h = jnp.where(pt["mask"][p_i], fh, F32(jnp.inf))
+        cand_l = jnp.where(pt["mask"][p_i], fl, F32(jnp.inf))
+        better = ds.ds_lt(cand_h, cand_l, best_h, best_l)
+        best_h = jnp.where(better, cand_h, best_h)
+        best_l = jnp.where(better, cand_l, best_l)
+        stable = jnp.where(better, np.int32(p_i), stable)
+
+    def pick(pairs):
+        hh = jnp.zeros_like(mu1[0])
+        ll = jnp.zeros_like(mu1[1])
+        for p_i in range(P):
+            on = stable == p_i
+            hh = hh + jnp.where(on, pairs[p_i][0], F32(0.0))
+            ll = ll + jnp.where(on, pairs[p_i][1], F32(0.0))
+        return hh, ll
+
+    z = pick([pt["x_i"][p_i][0] for p_i in range(P)])
+    rho = pick(pt["density"])
+    fe = pick(pt["fe"])
+
+    def gate(pair):
+        return (jnp.where(ok, pair[0], F32(0.0)), jnp.where(ok, pair[1], F32(0.0)))
+
+    z, rho, fe = gate(z), gate(rho), gate(fe)
+    return jnp.concatenate([z[0], z[1], rho[0], rho[1], fe[0], fe[1]], axis=0), ok.astype(I32)
+
+
+def _bcast_scalar2(pair, like_h):
+    """[1,L] pair against a possibly-[NPAD,L] array (sublane broadcast)."""
+    return pair[0] + jnp.zeros_like(like_h), pair[1] + jnp.zeros_like(like_h)
+
+
+# ----------------------------------------------------------------------
+# const packing: per-source mb blocks + per-source scalars + shared rows
+# ----------------------------------------------------------------------
+
+
+def _iso_const(sources, metas, NPAD, order, beta_target):
+    """Concatenate per-source _const_block_mb blocks, their (mu_ref,
+    dmu2) scalar pairs, and the shared (dB,) scalar pair."""
+    segs = [_const_block_mb(h, m, NPAD, order).reshape(-1) for h, m in zip(sources, metas)]
+    scal = []
+    for h in sources:
+        scal.append(h.curr_mu[0].reshape(1))
+        scal.append((h.curr_mu[1] - h.curr_mu[0]).reshape(1))
+    scal.append((jnp.asarray(beta_target, dtype=jnp.float64) - sources[0].curr_beta).reshape(1))
+    sh, sl = ds.split_f64(jnp.concatenate(scal))
+    return jnp.concatenate(segs + [sh, sl])[:, None]
+
+
+def _iso_unpack(cst, N, S, order, W):
+    NPAD = _npad(N)
+    per = _mb_len(N, S, order)
+    srcs = []
+    at = 0
+    for j in range(W):
+        lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2 = _unpack_cst_mb(
+            cst[at : at + per], N, S, order
+        )
+        srcs.append(
+            {
+                "lnpi": lnpi,
+                "keys": keys,
+                "dkeydB": dkeydB,
+                "dkeydMU": dkeydMU,
+                "dmuref": dmuref,
+                "o2": o2,
+                "op": op,
+                "vol": vol,
+                "beta_ref": beta_ref,
+            }
+        )
+        at += per
+    nsc = 2 * W + 1
+    sh = cst[at : at + nsc]
+    sl = cst[at + nsc : at + 2 * nsc]
+    for j in range(W):
+        srcs[j]["mu_ref"] = (sh[2 * j : 2 * j + 1], sl[2 * j : 2 * j + 1])
+        srcs[j]["dmu2"] = (sh[2 * j + 1 : 2 * j + 2], sl[2 * j + 1 : 2 * j + 2])
+    shared = {
+        "op": srcs[0]["op"],
+        "vol": srcs[0]["vol"],
+        "beta_ref": srcs[0]["beta_ref"],
+        "dB": (sh[2 * W : 2 * W + 1], sl[2 * W : 2 * W + 1]),
+    }
+    return srcs, shared
+
+
+def _mb_len(N, S, order):
+    """Row count of one _const_block_mb block (lnpi pair + op, keys and
+    dkeydB pairs, dkeydMU pairs, scalar rows; order-2 extras)."""
+    NPAD = _npad(N)
+    K = S + 1
+    n = 3 * NPAD + 4 * K * NPAD + 2 * (S - 1) * K * NPAD + 2 * (2 + (S - 1))
+    if order >= 2:
+        n += 8 * NPAD + 6 * K * NPAD
+    return n
+
+
+# ----------------------------------------------------------------------
+# pallas_call shell + eager XLA reference
+# ----------------------------------------------------------------------
+
+
+def _kernel(lf_ref, li_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, order, cutoff, W):
+    srcs, shared = _iso_unpack(cst_ref[:], N, S, order, W)
+    f, i = iso_block_lanes(lf_ref[0], li_ref[0], srcs, shared, N, smooth, P, S, order, cutoff)
+    out_f_ref[0] = f
+    out_i_ref[0] = i
+
+
+def _lanes(mu1_v, dmu2_v, lr, wts, block):
+    NY, NX = len(dmu2_v), len(mu1_v)
+    B = NY * NX
+    mu1 = jnp.asarray(np.broadcast_to(np.asarray(mu1_v)[None, :], (NY, NX)).reshape(-1))
+    dmu2 = jnp.asarray(np.broadcast_to(np.asarray(dmu2_v)[:, None], (NY, NX)).reshape(-1))
+    w0 = jnp.asarray(np.broadcast_to(np.asarray(wts)[:, 0:1], (NY, NX)).reshape(-1))
+    w1 = jnp.asarray(np.broadcast_to(np.asarray(wts)[:, 1:2], (NY, NX)).reshape(-1))
+    iL = np.broadcast_to(np.asarray(lr)[:, 0:1], (NY, NX)).reshape(-1).astype(np.int32)
+    iR = np.broadcast_to(np.asarray(lr)[:, 1:2], (NY, NX)).reshape(-1).astype(np.int32)
+
+    nb = -(-B // block)
+
+    def prep(v, pad_val=None):
+        if nb * block != B:
+            fill = v[-1:] if pad_val is None else pad_val
+            v = jnp.concatenate([jnp.asarray(v), jnp.broadcast_to(jnp.asarray(fill), (nb * block - B,))])
+        return jnp.asarray(v).reshape(nb, 1, block)
+
+    frows = []
+    for v in (mu1, dmu2, w0, w1):
+        vh, vl = ds.split_f64(prep(v))
+        frows += [vh, vl]
+    lf = jnp.concatenate(frows, axis=1)
+    li = jnp.concatenate([prep(jnp.asarray(iL)), prep(jnp.asarray(iR))], axis=1).astype(jnp.int32)
+    return lf, li, B, nb, NY, NX
+
+
+@partial(jax.jit, static_argnames=("N", "smooth", "P", "S", "order", "cutoff", "W", "block", "nb", "interpret"))
+def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret):
+    NRF, NRI = 6, 1
+    import sys
+
+    if sys.getrecursionlimit() < 40000:
+        sys.setrecursionlimit(40000)
+    Z = np.int32(0)
+    out_f, out_i = pl.pallas_call(
+        partial(_kernel, N=N, smooth=smooth, P=P, S=S, order=order, cutoff=cutoff, W=W),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cst.shape, lambda i: (Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NRF, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NRI, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, NRF, block), F32),
+            jax.ShapeDtypeStruct((nb, NRI, block), I32),
+        ],
+        interpret=interpret,
+    )(lf, li, cst)
+    out_f = jnp.moveaxis(out_f, 1, 0).reshape(NRF, nb * block)
+    out_i = jnp.moveaxis(out_i, 1, 0).reshape(NRI, nb * block)
+    return out_f, out_i
+
+
+def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, interpret):
+    meta = metas[0]
+    P, S = meta.max_phases, meta.nspec
+    N = sources[0].lnpi.shape[-1]
+    NPAD = _npad(N)
+    W = len(sources)
+    lf, li, B, nb, NY, NX = _lanes(mu1_v, dmu2_v, lr, wts, block)
+    cst = _iso_const(sources, metas, NPAD, order, beta_target)
+    out_f, out_i = _launch(lf, li, cst, N, meta.smooth, P, S, order, cutoff, W, block, nb, interpret)
+    out_f = out_f[:, :B]
+    out_i = out_i[:, :B]
+    z = ds.join_f64(out_f[0], out_f[1]).reshape(NY, NX)
+    rho = ds.join_f64(out_f[2], out_f[3]).reshape(NY, NX)
+    fe = ds.join_f64(out_f[4], out_f[5]).reshape(NY, NX)
+    ok = out_i[0].reshape(NY, NX).astype(bool)
+    return z, rho, fe, ok
+
+
+def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff):
+    """EAGER reference path (CPU tests); same body, one block."""
+    meta = metas[0]
+    P, S = meta.max_phases, meta.nspec
+    N = sources[0].lnpi.shape[-1]
+    NPAD = _npad(N)
+    W = len(sources)
+    B = len(mu1_v) * len(dmu2_v)
+    lf, li, B2, nb, NY, NX = _lanes(mu1_v, dmu2_v, lr, wts, block=B)
+    assert nb == 1
+    cst = _iso_const(sources, metas, NPAD, order, beta_target)
+    srcs, shared = _iso_unpack(cst, N, S, order, W)
+    f, i = iso_block_lanes(lf[0], li[0], srcs, shared, N, meta.smooth, P, S, order, cutoff, barriers=True)
+    z = ds.join_f64(f[0], f[1]).reshape(NY, NX)
+    rho = ds.join_f64(f[2], f[3]).reshape(NY, NX)
+    fe = ds.join_f64(f[4], f[5]).reshape(NY, NX)
+    ok = i[0].reshape(NY, NX).astype(bool)
+    return z, rho, fe, ok
+
+
+def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None):
+    """Evaluate an isopleth grid block with the fused cell kernel.
+
+    sources: list of Hist (same op range, beta_ref, volume — the isopleth
+    constructor validates this); lr/wts: host bracket indices/weights per
+    dmu2 row.  Returns (Z, density, fe, ok) as [NY, NX] f64/bool arrays,
+    matching isopleth._grid_eval's outputs.
+    """
+    if mode is None:
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if block is None:
+        block = default_block(sources[0].lnpi.shape[-1])
+    sources = tuple(sources)
+    metas = tuple(metas)
+    if order == 2 and metas[0].nspec != 2:
+        raise NotImplementedError("order-2 kernel is nspec==2 only")
+    if mode == "xla":
+        return _iso_ds_xla(sources, metas, mu1_v, dmu2_v, np.asarray(lr), np.asarray(wts), beta_target, order, cutoff)
+    return _iso_ds_pallas(
+        sources, metas, jnp.asarray(mu1_v), jnp.asarray(dmu2_v), np.asarray(lr), np.asarray(wts),
+        float(beta_target), order, float(cutoff), block, mode == "interpret",
+    )

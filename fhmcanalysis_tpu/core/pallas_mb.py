@@ -83,27 +83,29 @@ def _bcast_scalar(vh, vl, like_h):
     return row_h + jnp.zeros_like(like_h), row_l + jnp.zeros_like(like_h)
 
 
-def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False):
-    """One block of the extrapolating sweep in lanes layout (pure jnp).
+def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props):
+    """Reweight + joint Taylor extrapolation of ONE source in lanes layout.
 
-    lane_rows: [2*(3+S1), L] f32 — pair rows (a, mu, dB, dDmu_q...)
-    cst unpacked by _unpack_cst_mb.
+    Shared between the mu-beta sweep kernel and the isopleth cell kernel
+    (pallas_iso.py), which runs it once per bracket side.
+
+    src: dict with the per-source pair rows — lnpi, keys [K], dkeydB [K],
+    dkeydMU [S1][K], dmuref [S1] scalar pairs, and (order 2) the o2 tuple.
+    lanes: dict with the per-lane [1, L] pair rows — a (reweight coeff),
+    mu (target mu_1), db (beta distance), dds [S1] (dMu distances).
+    Returns (xh, xl, keys2, (mh, ml)) with (mh, ml) the pair max of the
+    REWEIGHTED surface (edge-effect checks read it).
     """
     S1 = S - 1
-    (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2) = _unpack_cst_mb(cst, N, S, order)
-    lnpi_h, lnpi_l = lnpi
-    NPAD = lnpi_h.shape[0]
-    L = lane_rows.shape[-1]
-    rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
-    real = _real_mask(rows, N)
-
-    def lane(i):
-        return lane_rows[2 * i : 2 * i + 1], lane_rows[2 * i + 1 : 2 * i + 2]
-
-    ah, al = lane(0)
-    muh, mul = lane(1)
-    dbh, dbl = lane(2)
-    dds = [lane(3 + q) for q in range(S1)]
+    lnpi_h, lnpi_l = src["lnpi"]
+    keys = src["keys"]
+    dkeydB = src["dkeydB"]
+    dmuref = src["dmuref"]
+    o2 = src.get("o2")
+    ah, al = lanes["a"]
+    muh, mul = lanes["mu"]
+    dbh, dbl = lanes["db"]
+    dds = lanes["dds"]
 
     # ---- reweight: x = lnpi + a*op (pallas_sweep parity) ----
     ph, pe = ds.two_prod(ah, op)
@@ -261,7 +263,7 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_
             gh, gl = ds.ds_mul(dbh + jnp.zeros_like(xh), dbl + jnp.zeros_like(xl), bh + jnp.zeros_like(xh), bl + jnp.zeros_like(xl))
             kh, kl = ds.ds_add(kh, kl, gh, gl)
             for q in range(S1):
-                qh_, ql_ = dkeydMU[q][k]
+                qh_, ql_ = src["dkeydMU"][q][k]
                 ddh_, ddl_ = dds[q]
                 gh, gl = ds.ds_mul(ddh_ + jnp.zeros_like(xh), ddl_ + jnp.zeros_like(xl), qh_ + jnp.zeros_like(xh), ql_ + jnp.zeros_like(xl))
                 kh, kl = ds.ds_add(kh, kl, gh, gl)
@@ -275,6 +277,28 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_
     else:
         keys2 = keys
 
+    return xh, xl, keys2, (mh, ml)
+
+
+def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False):
+    """One block of the extrapolating sweep in lanes layout (pure jnp).
+
+    lane_rows: [2*(3+S1), L] f32 — pair rows (a, mu, dB, dDmu_q...)
+    cst unpacked by _unpack_cst_mb.
+    """
+    S1 = S - 1
+    (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2) = _unpack_cst_mb(cst, N, S, order)
+    NPAD = lnpi[0].shape[0]
+    L = lane_rows.shape[-1]
+    rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
+    real = _real_mask(rows, N)
+
+    def lane(i):
+        return lane_rows[2 * i : 2 * i + 1], lane_rows[2 * i + 1 : 2 * i + 2]
+
+    src = {"lnpi": lnpi, "keys": keys, "dkeydB": dkeydB, "dkeydMU": dkeydMU, "dmuref": dmuref, "o2": o2}
+    lanes = {"a": lane(0), "mu": lane(1), "db": lane(2), "dds": [lane(3 + q) for q in range(S1)]}
+    xh, xl, keys2, _ = extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props)
     return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers)
 
 

@@ -447,6 +447,9 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
         "mask": mask,
         "n_phases": ext["n_max"],
         "valid": ext["valid"],
+        # per-phase pair maxima: iso cells read the last phase's maximum
+        # for the is_safe tail check (not packed by the sweep outputs)
+        "phase_max": m_p,
     }
     if props:
         S = len(keys) - 1
