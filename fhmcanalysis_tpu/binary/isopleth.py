@@ -271,7 +271,7 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="xla"):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="auto"):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
@@ -286,19 +286,37 @@ class isopleth(object):
         the single-device result; the mu_1 axis is padded per block to the
         device count and trimmed on return.
 
-        engine: "xla" (default, the batched two-stage path) or "pallas"
-        (core/pallas_iso.py — the fused double-single cell kernel; opt-in
-        because its Mosaic compile is the largest of the kernels, worth
-        it for production-size grids).  pallas is single-device (no mesh).
+        engine: "auto" (default) runs the fused double-single cell kernel
+        on TPU (core/pallas_iso.py — measured 12-71x the batched XLA path
+        at 1e-12 parity, the gap growing with the dmu_2 resolution since
+        the XLA stage-2 materializes [2, NY, NX, ...] bracket buffers),
+        falling back to XLA off-TPU, with mesh=, or on Mosaic failure.
+        "xla"/"pallas" force a path; pallas is single-device (no mesh).
         """
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
 
-        if engine == "pallas":
+        use_pallas = engine == "pallas"
+        if engine == "auto" and mesh is None:
+            from ..core.pipeline import _PALLAS_OK
+
+            if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True):
+                use_pallas = True
+        if use_pallas:
             if mesh is not None:
                 raise NotImplementedError("pallas isopleth engine is single-device; drop mesh= or use engine='xla'")
-            self._grid_block_kernel(mu1_v_full, dmu2_v, m)
-            return self.data["Z"], (self.data["X"], self.data["Y"])
+            try:
+                self._grid_block_kernel(mu1_v_full, dmu2_v, m)
+                from ..core.pipeline import _PALLAS_OK
+
+                _PALLAS_OK["iso"] = True
+                return self.data["Z"], (self.data["X"], self.data["Y"])
+            except Exception as e:
+                if engine == "pallas":
+                    raise
+                from ..core.pipeline import _PALLAS_OK, _pallas_failed
+
+                _pallas_failed("iso", e)
 
         # the reference hits this per pixel inside temp_dmu_extrap
         # (skip_mom=False at gc_binary.pyx:450-452) and print-continues,
