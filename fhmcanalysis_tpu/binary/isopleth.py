@@ -271,7 +271,7 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="auto"):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="xla"):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
@@ -286,18 +286,19 @@ class isopleth(object):
         the single-device result; the mu_1 axis is padded per block to the
         device count and trimmed on return.
 
-        engine: "auto" (default) runs the fused double-single cell kernel
-        on TPU (core/pallas_iso.py — measured 12-71x the batched XLA path
-        at 1e-12 parity, the gap growing with the dmu_2 resolution since
-        the XLA stage-2 materializes [2, NY, NX, ...] bracket buffers),
-        falling back to XLA off-TPU, with mesh=, or on Mosaic failure.
-        "xla"/"pallas" force a path; pallas is single-device (no mesh).
+        engine: "xla" (default) or "pallas" (core/pallas_iso.py, the
+        fused double-single cell kernel).  Honest warm-vs-warm on v5e:
+        XLA 63k cells/s vs pallas 27k at 23k cells, 106k vs 120k at 91k
+        cells — the batched XLA path wins small grids (kernel fixed
+        per-lane cost), pallas edges ahead at scale; "auto" picks pallas
+        on TPU for grids >= 64k cells.  pallas is single-device (no
+        mesh) and falls back to XLA on Mosaic failure under "auto".
         """
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
 
         use_pallas = engine == "pallas"
-        if engine == "auto" and mesh is None:
+        if engine == "auto" and mesh is None and self.data["X"].size >= 65536:
             from ..core.pipeline import _PALLAS_OK
 
             if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True):
