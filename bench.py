@@ -297,11 +297,14 @@ def main():
     mus_np = np.asarray(mus0)
     spec["sweep_mus"] = [float(mus_np[i]) for i in sweep_idx]
 
-    # ---------------- variant sweeps: forced-XLA + seg_f32 ---------------
+    # ---------------- forced-XLA cross-gate ------------------------------
     # The headline (default engine) auto-dispatches to the fused Pallas
-    # double-single kernel on TPU; the forced-XLA path is measured as a
-    # reference metric and cross-checked ON DEVICE (max-abs-diff reduced
-    # to a scalar before readback) — segmentation must agree exactly.
+    # double-single kernel on TPU; the forced-XLA sweep measured up front
+    # (watchdog fallback) is cross-checked ON DEVICE here (max-abs-diff
+    # reduced to a scalar before readback) — segmentation must agree
+    # exactly.  (seg_f32 and the forced-XLA mu-beta o1 reference numbers
+    # are recorded in PERFORMANCE.md; dropped from the routine bench to
+    # keep the fresh-compile budget inside the watchdog.)
     import jax.numpy as jnp
 
     def _dev_worst(a, b, msk):
@@ -309,24 +312,12 @@ def main():
 
     msk_dev = out_sweep["mask"]
     variant_metrics = []
-    xf = lambda: P.mu_sweep_thermo(hh, meta, mus0, props=True, engine="xla")  # noqa: E731
-    _stage("xla variant")
-    xo = xf()
-    sync(xo["fe"])
+    _stage("xla cross-gate")
     xw = max(_dev_worst(xo["fe"], out_sweep["fe"], msk_dev), _dev_worst(xo["ntot"], out_sweep["ntot"], msk_dev))
     _gate("xla_vs_default", xw)
     seg_eq = bool(jnp.all((xo["left"] == out_sweep["left"]) & (xo["right"] == out_sweep["right"]) & (xo["mask"] == msk_dev)))
     assert seg_eq, "XLA and default-engine segmentation diverged"
-    n_rep = 1 if quick else 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        sync(xf()["fe"])
-    x_secs = (time.perf_counter() - t0) / n_rep
     variant_metrics.append(("xla_sweep_points_per_sec", B / x_secs, "points/s", B / x_secs / TARGET))
-
-    # (seg_f32 and the forced-XLA o1 reference were measured and recorded
-    # in PERFORMANCE.md; dropped from the routine bench to keep the fresh-
-    # compile budget inside the watchdog on slow tunnel days)
 
     # ---------------- (mu, beta, dMu) joint Taylor sweeps ----------------
     h2 = _trimmed_mb_hist(histogram)
@@ -342,8 +333,8 @@ def main():
     mb_secs = {}
     mb_idx = []
     for order in (1, 2):
-        # default engine: order 1 auto-dispatches to the Pallas kernel on
-        # TPU, order 2 runs XLA — both go through the same oracle gate
+        # default engine: BOTH orders auto-dispatch to the Pallas kernel
+        # on TPU (order 2 via the nspec==2 path); same oracle gate
         f = lambda: P.mu_beta_sweep_thermo(hh2, meta2, mb_mus, mb_betas, mb_dmus, order=order, props=True)  # noqa: E731
         o = f()
         sync(o["fe"])  # compile + warmup

@@ -297,6 +297,18 @@ class isopleth(object):
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
 
+        # validate user data BEFORE engine dispatch: a data error must
+        # raise identically from either engine, not poison the pallas
+        # fallback memo (the reference hits this per pixel and
+        # print-continues, gc_binary.pyx:450-452; fail fast instead)
+        hs = self.data["histograms"]
+        if int(hs[0].data["max_order"]) < self.meta["order"] + 1:
+            raise Exception("Maximum order stored in simulation not high enough to calculate this order of extrapolation")
+        n0 = len(hs[0].data["ln(PI)"])
+        for hj in hs[1:]:
+            if len(hj.data["ln(PI)"]) != n0:
+                raise Exception("Isopleth source histograms must share the same order-parameter range")
+
         use_pallas = engine == "pallas"
         if engine == "auto" and mesh is None and self.data["X"].size >= 65536:
             from ..core.pipeline import _PALLAS_OK
@@ -318,12 +330,6 @@ class isopleth(object):
                 from ..core.pipeline import _PALLAS_OK, _pallas_failed
 
                 _pallas_failed("iso", e)
-
-        # the reference hits this per pixel inside temp_dmu_extrap
-        # (skip_mom=False at gc_binary.pyx:450-452) and print-continues,
-        # leaving every cell invalid; fail fast instead
-        if int(self.data["histograms"][0].data["max_order"]) < self.meta["order"] + 1:
-            raise Exception("Maximum order stored in simulation not high enough to calculate this order of extrapolation")
 
         if mu1_chunk is None:
             src0 = self.data["histograms"][0]
@@ -461,14 +467,8 @@ class isopleth(object):
 
         lr, wts = self._bracket(dmu2_v, m)
         hs = self.data["histograms"]
-        if int(hs[0].data["max_order"]) < self.meta["order"] + 1:
-            raise Exception("Maximum order stored in simulation not high enough to calculate this order of extrapolation")
         srcs = tuple(h._hist() for h in hs)
         metas = tuple(h._meta() for h in hs)
-        n = srcs[0].lnpi.shape[-1]
-        for hh in srcs:
-            if hh.lnpi.shape[-1] != n:
-                raise Exception("Isopleth source histograms must share the same order-parameter range")
         z, rho, fe, ok = iso_grid_ds(
             srcs, metas, mu1_v, dmu2_v, lr, wts,
             self.meta["beta"], self.meta["order"], self.meta["cutoff"], mode=mode,

@@ -372,11 +372,20 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
 def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None):
     """Evaluate an isopleth grid block with the fused cell kernel.
 
-    sources: list of Hist (same op range, beta_ref, volume — the isopleth
-    constructor validates this); lr/wts: host bracket indices/weights per
-    dmu2 row.  Returns (Z, density, fe, ok) as [NY, NX] f64/bool arrays,
+    sources: list of Hist; lr/wts: host bracket indices/weights per dmu2
+    row.  Returns (Z, density, fe, ok) as [NY, NX] f64/bool arrays,
     matching isopleth._grid_eval's outputs.
+
+    The isopleth constructor validates nspec and beta_ref only, so the
+    kernel's shared-row assumptions are checked HERE: all sources must
+    share the op grid and volume (the kernel packs source[0]'s rows once).
     """
+    srcs_np = [np.asarray(h.op) for h in sources]
+    for j, o in enumerate(srcs_np[1:], 1):
+        if o.shape != srcs_np[0].shape or not np.array_equal(o, srcs_np[0]):
+            raise ValueError("isopleth kernel requires identical order-parameter grids; source %d differs" % j)
+        if float(sources[j].volume) != float(sources[0].volume):
+            raise ValueError("isopleth kernel requires identical volumes; source %d differs" % j)
     if mode is None:
         mode = "pallas" if jax.default_backend() == "tpu" else "xla"
     if block is None:

@@ -47,3 +47,19 @@ def test_iso_kernel_order1_three_sources():
 def test_iso_kernel_order2_parity():
     srcs = _sources(FIXTURE2, [-10.0, -9.0], trim=True)
     _compare(srcs, 1.02, 2, (-9.0, -6.5), (-9.9, -9.1), (0.3, 0.12))
+
+
+def test_iso_kernel_rejects_mismatched_op():
+    """The kernel packs source[0]'s op/volume once; differing sources
+    must raise instead of silently reweighting with the wrong grid."""
+    from fhmcanalysis_tpu.core.pallas_iso import iso_grid_ds
+
+    srcs = _sources(FIXTURE, [-10.0, -9.0])
+    h0, h1 = srcs[0]._hist(), srcs[1]._hist()
+    metas = (srcs[0]._meta(), srcs[1]._meta())
+    h1_bad = h1.replace(op=h1.op + 1.0)
+    with pytest.raises(ValueError, match="order-parameter grids"):
+        iso_grid_ds(
+            (h0, h1_bad), metas, np.linspace(-9, -7, 4), np.linspace(-9.9, -9.1, 3),
+            np.array([[0, 1]] * 3), np.array([[0.5, 0.5]] * 3), 1.02, 1, 10.0, mode="xla",
+        )

@@ -127,3 +127,25 @@ def test_exp_range_rule_on_chip():
     shifted = jnp.exp(x - jnp.max(x))
     assert np.isfinite(np.asarray(shifted)).all()
     assert float(jnp.exp(jnp.float64(100.0))) == np.inf  # documented platform limit
+
+
+def test_iso_cell_kernel_matches_xla_on_chip(test_nc):
+    """The fused isopleth cell kernel's full pallas_call shell (lane
+    packing, BlockSpecs, output trim) vs the batched XLA grid — the CPU
+    suite only exercises the eager one-block body."""
+    from fhmcanalysis_tpu.binary import isopleth
+
+    srcs = [
+        oneDH.histogram(test_nc, 1.0, [5.0, -5.0], smooth=1),
+        oneDH.histogram(test_nc, 1.0, [5.0, -4.0], smooth=1),
+    ]
+    a = isopleth(srcs, 1.02, order=1)
+    a.make_grid((-9.0, -6.0), (-4.9, -4.1), (0.2, 0.08), engine="xla")
+    b = isopleth(srcs, 1.02, order=1)
+    b.make_grid((-9.0, -6.0), (-4.9, -4.1), (0.2, 0.08), engine="pallas")
+    np.testing.assert_array_equal(a.data["valid"], b.data["valid"])
+    ok = a.data["valid"].astype(bool)
+    assert ok.sum() > 0
+    for k in ("Z", "density", "F.E./kT"):
+        d = np.max(np.abs(np.where(ok, a.data[k] - b.data[k], 0.0)))
+        assert d < BAR, (k, d)
