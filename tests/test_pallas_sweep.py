@@ -168,5 +168,9 @@ def test_randomized_structures_parity(fixture_hist, rng):
                 np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=(k, smooth, case))
             ok = np.asarray(want["valid"])[:, None] & np.asarray(want["mask"])
             for k in ("fe", "ntot", "u"):
-                d = np.max(np.abs(np.where(ok, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+                # mask each side BEFORE subtracting: fe is +inf on empty
+                # masked phases and inf - inf warns
+                ga = np.where(ok, np.asarray(got[k]), 0.0)
+                wa = np.where(ok, np.asarray(want[k]), 0.0)
+                d = np.max(np.abs(ga - wa))
                 assert d < 1e-9, (k, smooth, case, d)
