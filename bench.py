@@ -388,6 +388,25 @@ def main():
     sweep_secs = (time.perf_counter() - t0) / n_rep
     FALLBACK["headline"] = ("reweight_thermo_points_per_sec", B / sweep_secs, "points/s", TARGET)
 
+    # large-batch point: the pallas engine streams blocks, so it runs
+    # past the XLA path's 4M-point HBM ceiling and amortizes launch
+    # overhead further (same already-gated kernel, bigger grid)
+    big_secs = None
+    if not quick:
+        try:
+            BB = 8 * 1024 * 1024
+            mus_big = jax.numpy.linspace(mu_lo, mu_hi, BB)
+            ob = sweep(mus_big)
+            sync(ob["fe"])
+            t0 = time.perf_counter()
+            for _ in range(2):
+                sync(sweep(mus_big)["fe"])
+            big_secs = (time.perf_counter() - t0) / 2
+            assert bool(np.asarray(ob["valid"]).all())
+            FALLBACK["big"] = ("reweight_thermo_8M_points_per_sec", BB / big_secs, "points/s", TARGET)
+        except Exception as e:
+            sys.stderr.write("8M batch skipped: %r\n" % (e,))
+
     # ---------------- parity gates (CPU oracle) --------------------------
     _stage("oracle join")
     ref = _join_oracle(oracle_proc)
@@ -428,6 +447,8 @@ def main():
     # ---------------- report ---------------------------------------------
     for vm in variant_metrics:
         _emit(*vm)
+    if big_secs is not None:
+        _emit("reweight_thermo_8M_points_per_sec", 8 * 1024 * 1024 / big_secs, "points/s", 8 * 1024 * 1024 / big_secs / TARGET)
     _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)
     _emit("mu_beta_extrap_o2_points_per_sec", M * A / mb_secs[2], "points/s", M * A / mb_secs[2] / TARGET)
     host_rate = len(spec["iso_cells"]) / ref["iso_host_secs"] if ref["iso_host_secs"] > 0 else 0.0
