@@ -216,9 +216,16 @@ class histogram(object):
             raise Exception("ln(PI) not long enough to analyze for relative extrema")
         if self.metadata["smooth"] < 1:
             raise Exception("smooth must be >= 1 to find relative extrema")
-        ext = _segment.relextrema(lnpi, self.metadata["smooth"], self._max_phases(lnpi))
+        P = self._max_phases(lnpi)
+        ext = _segment.relextrema(lnpi, self.metadata["smooth"], P)
         n_max, n_min = int(ext.n_max), int(ext.n_min)
         if not bool(ext.valid):
+            if n_max > P or n_min > P + 1:
+                raise Exception(
+                    "Surface has %d maxima / %d minima, exceeding the %d phase slots "
+                    "(the padded device representation caps at 64; raise smooth to merge "
+                    "noise extrema)" % (n_max, n_min, P)
+                )
             raise Exception(
                 "There are %d local maxima and %d local minima, so cannot be alternating, "
                 "try adjusting the value of smooth" % (n_max, n_min)
@@ -227,7 +234,16 @@ class histogram(object):
         self.data["ln(PI)_minima_idx"] = np.asarray(ext.minima)[:n_min].astype(np.int64)
 
     def _max_phases(self, lnpi):
-        """Static phase-slot budget: enough for any alternating structure."""
+        """Static phase-slot budget for the fixed-shape device segmentation.
+
+        N//2+2 covers EVERY possible alternating structure for surfaces up
+        to 124 bins; longer surfaces are capped at 64 slots (a surface with
+        more than 64 alternating extrema is measurement noise — raise
+        `smooth`).  Exceeding the cap raises with an explicit message (see
+        relextrema) rather than silently truncating.  The batched device
+        pipelines take their budget from `_meta(max_phases=8)` instead —
+        under-sizing there reads as `valid=False` in the output masks.
+        """
         return max(8, min(len(lnpi) // 2 + 2, 64))
 
     def coexisting(self, rtol=1.0e-3):
