@@ -1,0 +1,324 @@
+"""Device 2-D (h, N_tot) pore-surface engine.
+
+Masked fixed-shape device forms of the slit-pore histogram operations
+(reference: /root/reference/moments/histogram/two_dim/h_ntot/
+pore_hist.pyx) so the whole per-state pipeline — row-shift surface
+build, ragged-region normalization, per-watershed-phase probability
+averages, free energies, ridge diagnostics, and transition-state
+boundary integrals — runs as ONE jittable body, vmappable over a batch
+of pore state points (p, beta).
+
+Division of labor (SURVEY §7 stage 8): everything numeric lives here as
+pure jnp functions over padded [H, N] surfaces + masks; the only host
+steps are watershed seeding/labeling (two_dim/imaging.py, data-dependent
+flood order) and the tiny line profiles.  Labels enter as a dense
+int array — per-phase quantities are [P]-slot masked contractions, the
+2-D analog of core/segment.py's 1-D scheme.
+
+All surfaces follow the TPU log-domain rule (CLAUDE.md): every
+exponential is max-shifted so intermediates stay <= 1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "valid_mask_2d",
+    "build_pore_lnpi",
+    "normalize_2d",
+    "ln_f_2d",
+    "region_thermo_2d",
+    "boundary_pair_integrals",
+    "pore_phase_core",
+]
+
+_BIGNEG = -1.7976931348623157e308  # -sys.float_info.max (pore_hist.pyx:40)
+
+
+def _masked_max(x, mask):
+    return jnp.max(jnp.where(mask, x, -jnp.inf))
+
+
+def _masked_logsumexp(x, mask):
+    """logsumexp over ``mask`` cells; -inf entries inside the mask are
+    legal (exp underflows to exactly 0, matching the host concatenation
+    in pore_hist.normalize / _cy_normalize pore_hist.pyx:57-80)."""
+    m = _masked_max(x, mask)
+    s = jnp.sum(jnp.where(mask, jnp.exp(x - m), 0.0))
+    return m + jnp.log(s)
+
+
+def valid_mask_2d(edge_idx, n_cols: int):
+    """bool[H, N] marking the ragged valid region col <= edge_idx[row]
+    (the normalization domain of _cy_normalize, pore_hist.pyx:57-80)."""
+    cols = jnp.arange(n_cols)
+    return cols[None, :] <= jnp.asarray(edge_idx)[:, None]
+
+
+def build_pore_lnpi(lnpi_raw, h_vals, fh_vals, p, A, beta):
+    """Row-shifted lnPI(h, N) surface (pore_hist.pyx:131-135).
+
+    shift[h] = -beta * (F(h) + p*A*h) - lnPI_raw[h, 0]; F(h) enters as a
+    precomputed vector (the reference's Python callable is host-only).
+    p and beta are scalars — vmap over them for a state-point batch.
+    """
+    lnpi_raw = jnp.asarray(lnpi_raw)
+    shift = -beta * (jnp.asarray(fh_vals) + p * A * jnp.asarray(h_vals)) - lnpi_raw[:, 0]
+    return lnpi_raw + shift[:, None]
+
+
+def normalize_2d(lnpi, valid):
+    """Masked 2-D normalization over the ragged valid region
+    (pore_hist.pyx:57-80, 146-152).  Single-device form of
+    parallel.surface.sharded_normalize_2d."""
+    return lnpi - _masked_logsumexp(lnpi, valid)
+
+
+def ln_f_2d(lnpi):
+    """ln of the empty-pore partition slice, logsumexp over lnPI(h, 0)
+    (pore_hist.pyx:205: ln_f from the N=0 column)."""
+    return _masked_logsumexp(lnpi[:, 0], jnp.ones(lnpi.shape[0], dtype=bool))
+
+
+def region_thermo_2d(lnpi, region, props):
+    """Probability-averaged properties over one masked region
+    (pore_hist.thermo, pore_hist.pyx:154-184).
+
+    props: f64[K, H, N] stacked property surfaces.  Returns
+    (ave[K], lp[H, N]) where lp is the region-renormalized log
+    distribution (-inf outside) the host API derives peak_idx from.
+    """
+    lnpi = jnp.asarray(lnpi)
+    m = _masked_max(lnpi, region)
+    lse = _masked_logsumexp(lnpi - m, region)
+    lp = jnp.where(region, lnpi - m - lse, -jnp.inf)
+    prob = jnp.where(region, jnp.exp(lp), 0.0)
+    sum_prob = jnp.sum(prob)
+    ave = jnp.sum(prob[None, :, :] * jnp.asarray(props), axis=(1, 2)) / sum_prob
+    return ave, lp
+
+
+def _boundary_mask(labels, background=0):
+    """Inner-mode connectivity-1 boundary pixels (imaging.find_boundaries
+    as used at pore_hist.pyx:430): a non-background pixel adjacent
+    (4-connectivity, edge-padded) to ANY differing label."""
+    lab = jnp.asarray(labels)
+    out = jnp.zeros(lab.shape, dtype=bool)
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        shifted = jnp.roll(lab, (-di, -dj), axis=(0, 1))
+        # edge-pad semantics: rolled-in wrap cells must compare equal
+        H, N = lab.shape
+        rows = jnp.arange(H)[:, None]
+        cols = jnp.arange(N)[None, :]
+        inb = (rows + di >= 0) & (rows + di < H) & (cols + dj >= 0) & (cols + dj < N)
+        out = out | (inb & (lab != shifted))
+    return out & (lab != background)
+
+
+_NEBR8 = ((1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def boundary_pair_integrals(lnpi, labels, max_labels: int):
+    """Transition-state boundary integrals between watershed phases
+    (pore_hist._segment, pore_hist.pyx:425-445).
+
+    For every ordered pair (p -> q) where p is an inner boundary pixel
+    with label a > 0 and q one of its 8 in-bounds neighbors with label
+    b > 0, b != a, the contribution is
+        v = logaddexp(lnPI[p] - ln 2, lnPI[q] - ln 2).
+    The host loop's symmetric running update
+        min_df[a,b] = logaddexp(min_df[a,b], v); min_df[b,a] = min_df[a,b]
+    makes the final entry the logsumexp over contributions in EITHER
+    direction, and max_val the max over either direction — computed here
+    as a per-unordered-pair segment reduction (one launch, no host loop).
+
+    Returns (min_df, max_val): f64[(L+1), (L+1)] with _BIGNEG at pairs
+    with no shared boundary (the reference's -sys.float_info.max fill).
+    """
+    lnpi = jnp.asarray(lnpi)
+    lab = jnp.asarray(labels)
+    H, N = lab.shape
+    L1 = max_labels + 1
+    bnd = _boundary_mask(lab)
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(N)[None, :]
+
+    keys = []
+    vals = []
+    valid = []
+    ln2 = jnp.log(2.0)
+    for di, dj in _NEBR8:
+        q_lab = jnp.roll(lab, (-di, -dj), axis=(0, 1))
+        q_lnpi = jnp.roll(lnpi, (-di, -dj), axis=(0, 1))
+        inb = (rows + di >= 0) & (rows + di < H) & (cols + dj >= 0) & (cols + dj < N)
+        ok = bnd & inb & (q_lab > 0) & (lab > 0) & (q_lab != lab)
+        a = jnp.minimum(lab, q_lab)
+        b = jnp.maximum(lab, q_lab)
+        key = jnp.where(ok, a * L1 + b, L1 * L1)  # overflow slot for invalid
+        v = jnp.logaddexp(lnpi - ln2, q_lnpi - ln2)
+        keys.append(key.ravel())
+        vals.append(v.ravel())
+        valid.append(ok.ravel())
+
+    keys = jnp.concatenate(keys)
+    vals = jnp.concatenate(vals)
+    valid = jnp.concatenate(valid)
+    nseg = L1 * L1 + 1
+    vals = jnp.where(valid, vals, -jnp.inf)
+
+    # two-pass segment logsumexp: max-shift per pair, then sum of exp
+    seg_max = jax.ops.segment_max(vals, keys, num_segments=nseg)
+    seg_max_f = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = jnp.where(valid, jnp.exp(vals - seg_max_f[keys]), 0.0)
+    seg_sum = jax.ops.segment_sum(shifted, keys, num_segments=nseg)
+    lse = jnp.where(seg_sum > 0.0, seg_max_f + jnp.log(seg_sum), _BIGNEG)
+    mx = jnp.where(jnp.isfinite(seg_max), seg_max, _BIGNEG)
+
+    min_df = lse[: L1 * L1].reshape(L1, L1)
+    max_val = mx[: L1 * L1].reshape(L1, L1)
+    # symmetrize (each unordered pair was accumulated into the canonical
+    # (min, max) slot only)
+    upper = jnp.triu(jnp.ones((L1, L1), dtype=bool), 1)
+    min_df = jnp.where(upper, min_df, min_df.T)
+    max_val = jnp.where(upper, max_val, max_val.T)
+    diag = jnp.eye(L1, dtype=bool)
+    min_df = jnp.where(diag, _BIGNEG, min_df)
+    max_val = jnp.where(diag, _BIGNEG, max_val)
+    return min_df, max_val
+
+
+def _edge_value(x, edge_onehot, fill):
+    """x[h, edge_idx[h]] per row without a gather: masked-max over the
+    one-hot edge column (segment._take_small discipline — batched
+    dynamic-index takes lower to TPU gathers that dominate pipelines)."""
+    return jnp.max(jnp.where(edge_onehot, x, fill), axis=1)
+
+
+def pore_phase_core(
+    lnpi,
+    labels,
+    valid,
+    edge_idx,
+    props,
+    peak_lnpi,
+    n_labels,
+    max_phases: int,
+):
+    """Fused per-phase analysis of one normalized pore surface
+    (pore_hist.phase_average, pore_hist.pyx:186-252) — one jittable
+    body over [P]-slot masked contractions; vmap for state batches.
+
+    Inputs
+    ------
+    lnpi      : f64[H, N]   normalized row-shifted surface
+    labels    : i32[H, N]   watershed phase labels (0 = background)
+    valid     : bool[H, N]  ragged valid region (valid_mask_2d)
+    edge_idx  : i32[H]      per-row ragged edge column
+    props     : f64[K, H, N] stacked property surfaces
+    peak_lnpi : f64[P]      lnPI at each phase's local maximum (host
+                            watershed seed values), slot-padded
+    n_labels  : i32[]       number of live watershed phases
+    max_phases: static P    slot count
+
+    Returns a dict of slot-padded arrays:
+      ave        f64[P, K]  probability-averaged properties per phase
+      fe         f64[P]     F.E./kT = ln_f - lse(lnPI | phase)
+      ridge_diff f64[P]     max(lnPI|phase) - max(ridge values|phase)
+                            (< 10 means ridgeline effects, pyx:230-234)
+      peak_flat  i32[P]     flat argmax of the phase region
+      act_kT     f64[P, P]  activation free energies (pyx:213-227)
+      act_kT_diff f64[P, P]
+      ts         f64[(P+1),(P+1)] transition states in -kT units
+      phase_ok   bool[P]    slot is a live phase
+    """
+    lnpi = jnp.asarray(lnpi)
+    lab = jnp.asarray(labels)
+    P = max_phases
+    slots = jnp.arange(1, P + 1)
+    region = lab[None, :, :] == slots[:, None, None]  # [P, H, N]
+    phase_ok = slots <= n_labels
+
+    lnf = ln_f_2d(lnpi)
+
+    # per-phase masked probability averages (thermo over each label mask)
+    m = jnp.max(jnp.where(region, lnpi[None], -jnp.inf), axis=(1, 2))  # [P]
+    m_f = jnp.where(jnp.isfinite(m), m, 0.0)
+    z = jnp.where(region, jnp.exp(lnpi[None] - m_f[:, None, None]), 0.0)  # [P, H, N]
+    s = jnp.sum(z, axis=(1, 2))  # [P]
+    prob = z / jnp.where(s > 0, s, 1.0)[:, None, None]
+    sum_prob = jnp.sum(prob, axis=(1, 2))
+    ave = jnp.einsum("phn,khn->pk", prob, jnp.asarray(props)) / jnp.where(sum_prob > 0, sum_prob, 1.0)[:, None]
+
+    # F.E./kT per phase (pyx:212: ln_f - lse over the phase mask)
+    fe = lnf - (m_f + jnp.log(jnp.where(s > 0, s, 1.0)))
+    fe = jnp.where(phase_ok, fe, 0.0)
+
+    # ridgeline diagnostic (intended form of pyx:230-234): per-phase max
+    # minus the max lnPI along the ragged edge cells owned by the phase
+    edge_onehot = jnp.arange(lnpi.shape[1])[None, :] == jnp.asarray(edge_idx)[:, None]  # [H, N]
+    edge_lnpi = _edge_value(lnpi, edge_onehot, -jnp.inf)  # [H]
+    edge_lab = jnp.max(jnp.where(edge_onehot, lab, -1), axis=1)  # [H]
+    ridge = jnp.where(edge_lab[None, :] == slots[:, None], edge_lnpi[None, :], -jnp.inf)  # [P, H]
+    ridge_max = jnp.max(ridge, axis=1)
+    ridge_diff = m - ridge_max  # inf when the phase never touches the edge
+
+    peak_flat = jnp.argmax(jnp.where(region, lnpi[None], -jnp.inf).reshape(P, -1), axis=1)
+
+    # transition states (pyx:205-210): ts live entries -> -(ts - ln_f)
+    min_df, max_border = boundary_pair_integrals(lnpi, lab, P)
+    live = min_df > _BIGNEG
+    ts = jnp.where(live, -(min_df - lnf), min_df)
+
+    # activation matrices (pyx:213-227), phase slots 0..P-1 <-> labels 1..P
+    live_pp = live[1:, 1:]  # [P, P]
+    fe_pair_max = jnp.maximum(fe[:, None], fe[None, :])
+    act_kT = jnp.where(live_pp, ts[1:, 1:] - fe_pair_max, 0.0)
+    peak_pair_min = jnp.minimum(peak_lnpi[:, None], peak_lnpi[None, :])
+    act_kT_diff = jnp.where(live_pp, peak_pair_min - max_border[1:, 1:], 0.0)
+    pair_ok = phase_ok[:, None] & phase_ok[None, :]
+    act_kT = jnp.where(pair_ok, act_kT, 0.0)
+    act_kT_diff = jnp.where(pair_ok, act_kT_diff, 0.0)
+
+    return {
+        "ave": ave,
+        "fe": fe,
+        "ridge_diff": ridge_diff,
+        "peak_flat": peak_flat,
+        "act_kT": act_kT,
+        "act_kT_diff": act_kT_diff,
+        "ts": ts,
+        "phase_ok": phase_ok,
+    }
+
+
+def pore_surface_batch(lnpi_raw, h_vals, fh_vals, p_batch, A, beta_batch, valid):
+    """Stage-1 device batch: build + normalize S pore surfaces in one
+    launch (vmap of build_pore_lnpi/normalize_2d over (p, beta)).
+
+    Also returns the watershed elevation input x = lnpi - min(lnpi|valid)
+    with background exactly 0 (intended form of pore_hist.pyx:412-413),
+    so the host flood consumes device output directly.
+    """
+
+    def one(p, beta):
+        ln = build_pore_lnpi(lnpi_raw, h_vals, fh_vals, p, A, beta)
+        ln = normalize_2d(ln, valid)
+        mn = jnp.min(jnp.where(valid, ln, jnp.inf))
+        x = jnp.where(valid, ln - mn, 0.0)
+        return ln, x
+
+    return jax.vmap(one)(jnp.asarray(p_batch), jnp.asarray(beta_batch))
+
+
+def pore_phase_batch(lnpi_b, labels_b, valid, edge_idx, props, peak_lnpi_b, n_labels_b, max_phases: int):
+    """Stage-2 device batch: fused per-phase analysis over S states in
+    one launch (vmap of pore_phase_core; labels from host watershed)."""
+
+    def one(lnpi, labels, peak_lnpi, n_labels):
+        return pore_phase_core(lnpi, labels, valid, edge_idx, props, peak_lnpi, n_labels, max_phases)
+
+    return jax.vmap(one)(
+        jnp.asarray(lnpi_b), jnp.asarray(labels_b), jnp.asarray(peak_lnpi_b), jnp.asarray(n_labels_b)
+    )

@@ -15,8 +15,12 @@ notes each deviation:
   - the background of the shifted surface is zeroed via ~mask
     (:413 zeroes the valid region instead)
 
-Segmentation runs on the native imaging primitives (imaging.py), no
-scikit-image dependency.
+Engines: ``engine="device"`` (default) routes surface build,
+normalization, per-phase probability averages, and the transition-state
+boundary integrals through the jitted 2-D core (core/segment2d.py) —
+watershed seeding/labeling and the line profiles stay on host
+(imaging.py).  ``engine="numpy"`` is the pure-host oracle the
+equivalence suite checks the device path against at 1e-12.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import copy
 
 import numpy as np
 
+from ..core import segment2d as _s2d
 from .imaging import find_boundaries, peak_local_max, profile_line, watershed
 
 __all__ = ["pore_hist"]
@@ -40,13 +45,35 @@ def _logsumexp(vals):
     return m + np.log(np.sum(np.exp(vals - m)))
 
 
+def _jits():
+    """Lazily-jitted device entry points (shared across instances)."""
+    global _JIT
+    if _JIT is None:
+        import jax
+
+        _JIT = {
+            "build": jax.jit(_s2d.build_pore_lnpi),
+            "normalize": jax.jit(_s2d.normalize_2d),
+            "region_thermo": jax.jit(_s2d.region_thermo_2d),
+            "boundary": jax.jit(_s2d.boundary_pair_integrals, static_argnames="max_labels"),
+            "phase_core": jax.jit(_s2d.pore_phase_core, static_argnames="max_phases"),
+        }
+    return _JIT
+
+
+_JIT = None
+
+
 class pore_hist(object):
     """lnPI(h, N_tot) for slit pores (pore_hist.pyx:82-477)."""
 
-    def __init__(self, joint_hist, fh, p_tot, A, beta):
+    def __init__(self, joint_hist, fh, p_tot, A, beta, engine="device"):
         """joint_hist: assembled joint histogram; fh: F(h) callable;
-        p_tot: total pressure; A: cross-sectional area; beta: 1/kT."""
+        p_tot: total pressure; A: cross-sectional area; beta: 1/kT;
+        engine: "device" (jitted 2-D core) or "numpy" (host oracle)."""
+        assert engine in ("device", "numpy"), "Unknown engine: %s" % engine
         self.clear()
+        self.engine = engine
         self.data["F(h)"] = fh
         self.data["p"] = p_tot
         self.data["hist"] = copy.deepcopy(joint_hist)
@@ -65,23 +92,49 @@ class pore_hist(object):
 
         # build lnPI(h, N): shift each row by -beta*(F(h) + p*A*h) - lnPI[h,0]
         # (pore_hist.pyx:131-135), THEN derive the valid mask
-        self.data["ln(PI)"] = np.array(hd["ln(PI)"], dtype=np.float64, copy=True)
-        for i in range(len(hd["op_1"])):
-            h = hd["op_1"][i]
-            shift = -self.data["beta"] * (self.data["F(h)"](h) + self.data["p"] * self.data["A"] * h) - self.data[
-                "ln(PI)"
-            ][i, 0]
-            self.data["ln(PI)"][i, :] += shift
+        if self.engine == "device":
+            fh_vals = np.array([self.data["F(h)"](h) for h in hd["op_1"]], dtype=np.float64)
+            self.data["ln(PI)"] = np.asarray(
+                _jits()["build"](
+                    np.asarray(hd["ln(PI)"], dtype=np.float64),
+                    np.asarray(hd["op_1"], dtype=np.float64),
+                    fh_vals,
+                    float(p_tot),
+                    float(A),
+                    float(beta),
+                )
+            )
+        else:
+            self.data["ln(PI)"] = np.array(hd["ln(PI)"], dtype=np.float64, copy=True)
+            for i in range(len(hd["op_1"])):
+                h = hd["op_1"][i]
+                shift = -self.data["beta"] * (self.data["F(h)"](h) + self.data["p"] * self.data["A"] * h) - self.data[
+                    "ln(PI)"
+                ][i, 0]
+                self.data["ln(PI)"][i, :] += shift
         self.data["mask"] = self.data["ln(PI)"] > -np.inf
         self.normalize()
 
     def clear(self):
         self.data = {}
 
+    def _valid(self):
+        """bool[H, N] ragged valid region col <= edge_idx[row]."""
+        return np.arange(self.data["ln(PI)"].shape[1])[None, :] <= self.data["edge_idx"][:, None]
+
+    def _props_stack(self):
+        """Stacked [K, H, N] property surfaces in dict order."""
+        props = self.data["hist"].data["props"]
+        names = list(props)
+        return names, np.stack([np.asarray(props[p], dtype=np.float64) for p in names])
+
     def normalize(self):
         """Masked 2-D normalization over the ragged valid region
         (pore_hist.pyx:57-80, 146-152)."""
         lnpi = self.data["ln(PI)"]
+        if self.engine == "device":
+            self.data["ln(PI)"] = np.asarray(_jits()["normalize"](lnpi, self._valid()))
+            return
         vals = [lnpi[i, : self.data["edge_idx"][i] + 1] for i in range(len(lnpi))]
         shift = _logsumexp(np.concatenate(vals))
         self.data["ln(PI)"] = lnpi - shift
@@ -89,6 +142,15 @@ class pore_hist(object):
     def thermo(self, mask):
         """Probability-averaged properties over a masked region
         (pore_hist.pyx:154-184)."""
+        if self.engine == "device":
+            names, stacked = self._props_stack()
+            ave, lp = _jits()["region_thermo"](self.data["ln(PI)"], np.asarray(mask, dtype=bool), stacked)
+            ave = np.asarray(ave)
+            lp = np.asarray(lp)
+            ave_props = {name: ave[k] for k, name in enumerate(names)}
+            ave_props["peak_idx"] = np.where(lp == np.max(lp))
+            return ave_props
+
         lp = np.array(self.data["ln(PI)"], copy=True)
         lp -= np.max(lp[mask]) if np.any(mask) else 0.0
         lp[~mask] = -np.inf
@@ -109,6 +171,8 @@ class pore_hist(object):
     def phase_average(self, nnebr=1, max_peaks=10):
         """Per-watershed-label phase properties + activation free energies
         (pore_hist.pyx:186-252)."""
+        if self.engine == "device":
+            return self._phase_average_device(nnebr, max_peaks)
         pore_cutoff = 10.0
         self.normalize()
         max_peaks += 1  # to account for background
@@ -147,6 +211,72 @@ class pore_hist(object):
             if max_diff < pore_cutoff:
                 raise Exception("Cannot compute phase_average because of ridgeline effects")
 
+        return self._finish_phase_average(phase_props, uniqueMax, ts)
+
+    def _phase_average_device(self, nnebr=1, max_peaks=10):
+        """Device form of phase_average: ONE fused jitted launch
+        (core/segment2d.pore_phase_core) computes every per-phase
+        average, free energy, and ridge diagnostic; host keeps watershed
+        and the dict/exception glue (pore_hist.pyx:186-252)."""
+        pore_cutoff = 10.0
+        self.normalize()
+        max_peaks += 1
+        try:
+            self._segment(nnebr, max_peaks)
+        except Exception as e:
+            raise Exception("Cannot segment the surface: %s" % e)
+
+        labels = self.data["seg"]["phase_labels"]
+        lm = self.data["seg"]["local_maxima"]
+        uniqueMax = np.unique(labels)
+        n_max = len(lm)
+        lnpi = self.data["ln(PI)"]
+        ln_f = _logsumexp(lnpi[:, 0])
+
+        ts = self.data["seg"]["transition_state_kT"]
+        live = ts > _BIGNEG
+        ts[live] -= ln_f
+        ts[live] *= -1.0
+
+        if n_max == 0:
+            return self._finish_phase_average({}, uniqueMax, ts)
+
+        names, stacked = self._props_stack()
+        peak_lnpi = lnpi[lm[:, 0], lm[:, 1]]
+        core = _jits()["phase_core"](
+            lnpi,
+            np.asarray(labels, dtype=np.int32),
+            self._valid(),
+            self.data["edge_idx"],
+            stacked,
+            np.asarray(peak_lnpi, dtype=np.float64),
+            np.int32(n_max),
+            max_phases=n_max,
+        )
+        ave = np.asarray(core["ave"])
+        fe = np.asarray(core["fe"])
+        ridge_diff = np.asarray(core["ridge_diff"])
+
+        phase_props = {}
+        ctr = 0
+        for hill in uniqueMax:
+            if hill < 1:
+                continue
+            s = int(hill) - 1
+            ave_props = {name: ave[s, k] for k, name in enumerate(names)}
+            tmp = np.where(labels == hill, lnpi, -np.inf)
+            ave_props["peak_idx"] = np.where(tmp == np.max(tmp))
+            ave_props["F.E./kT"] = fe[s]
+            phase_props[ctr] = ave_props
+            ctr += 1
+            if ridge_diff[s] < pore_cutoff:
+                raise Exception("Cannot compute phase_average because of ridgeline effects")
+
+        return self._finish_phase_average(phase_props, uniqueMax, ts)
+
+    def _finish_phase_average(self, phase_props, uniqueMax, ts):
+        """Activation free-energy matrices from the transition states
+        (pore_hist.pyx:213-227); shared host epilogue of both engines."""
         n = len(uniqueMax)
         act_kT = np.zeros((n - 1, n - 1))
         act_kT_diff = np.zeros((n - 1, n - 1))
@@ -253,7 +383,13 @@ class pore_hist(object):
     def _segment(self, nnebr=1, num_peaks=10):
         """Watershed segmentation of the lnPI surface with scaled
         footprint, boundary transition-state integration, and free-energy
-        line profiles between maxima (pore_hist.pyx:377-477)."""
+        line profiles between maxima (pore_hist.pyx:377-477).
+
+        Peak finding, the flood itself, and the line profiles run on host
+        (imaging.py, native C++ flood); with engine="device" the
+        boundary transition-state integration is one jitted segment
+        reduction (core/segment2d.boundary_pair_integrals).
+        """
         self.data["seg"] = {}
 
         sd = self.data["ln(PI)"]
@@ -288,23 +424,28 @@ class pore_hist(object):
         self.data["seg"]["phase_labels"] = ans
 
         # integrate lnPI along phase boundaries
-        min_df = np.full((n_maxima + 1, n_maxima + 1), _BIGNEG)
-        max_val = np.full((n_maxima + 1, n_maxima + 1), _BIGNEG)
-        my_edges = find_boundaries(self.data["seg"]["phase_labels"], connectivity=1, mode="inner", background=0)
-        ix, iy = np.where(my_edges)
-        pl = self.data["seg"]["phase_labels"]
-        nebr_vecs = [[1, 1], [1, 0], [1, -1], [0, -1], [-1, -1], [-1, 0], [-1, 1], [0, 1]]
-        for i, j in zip(ix, iy):
-            this_phase = pl[i][j]
-            for k, m in nebr_vecs:
-                if 0 <= i + k < len_H and 0 <= j + m < len_N:
-                    nebr_phase = pl[i + k, j + m]
-                    if nebr_phase != this_phase and nebr_phase > 0 and this_phase > 0:
-                        ave_val = np.logaddexp(sd[i, j] - np.log(2.0), sd[i + k, j + m] - np.log(2.0))
-                        min_df[this_phase, nebr_phase] = np.logaddexp(min_df[this_phase, nebr_phase], ave_val)
-                        min_df[nebr_phase, this_phase] = min_df[this_phase, nebr_phase]
-                        max_val[this_phase, nebr_phase] = max(max_val[this_phase, nebr_phase], ave_val)
-                        max_val[nebr_phase, this_phase] = max_val[this_phase, nebr_phase]
+        if self.engine == "device":
+            min_df, max_val = _jits()["boundary"](sd, np.asarray(ans, dtype=np.int32), max_labels=n_maxima)
+            min_df = np.array(min_df)
+            max_val = np.array(max_val)
+        else:
+            min_df = np.full((n_maxima + 1, n_maxima + 1), _BIGNEG)
+            max_val = np.full((n_maxima + 1, n_maxima + 1), _BIGNEG)
+            my_edges = find_boundaries(self.data["seg"]["phase_labels"], connectivity=1, mode="inner", background=0)
+            ix, iy = np.where(my_edges)
+            pl = self.data["seg"]["phase_labels"]
+            nebr_vecs = [[1, 1], [1, 0], [1, -1], [0, -1], [-1, -1], [-1, 0], [-1, 1], [0, 1]]
+            for i, j in zip(ix, iy):
+                this_phase = pl[i][j]
+                for k, m in nebr_vecs:
+                    if 0 <= i + k < len_H and 0 <= j + m < len_N:
+                        nebr_phase = pl[i + k, j + m]
+                        if nebr_phase != this_phase and nebr_phase > 0 and this_phase > 0:
+                            ave_val = np.logaddexp(sd[i, j] - np.log(2.0), sd[i + k, j + m] - np.log(2.0))
+                            min_df[this_phase, nebr_phase] = np.logaddexp(min_df[this_phase, nebr_phase], ave_val)
+                            min_df[nebr_phase, this_phase] = min_df[this_phase, nebr_phase]
+                            max_val[this_phase, nebr_phase] = max(max_val[this_phase, nebr_phase], ave_val)
+                            max_val[nebr_phase, this_phase] = max_val[this_phase, nebr_phase]
 
         self.data["seg"]["transition_state_kT"] = min_df
         self.data["seg"]["max_border_kT"] = max_val
