@@ -1,0 +1,148 @@
+"""Batched device pipeline over slit-pore state points (p, beta).
+
+The 2-D analog of core/pipeline.mu_sweep_thermo (VERDICT r1 item 1):
+the reference analyzes one pore state per pore_hist instance
+(pore_hist.pyx:82-252, serial host loops); here a whole grid of
+(p, beta) targets runs through TWO device launches with the only host
+work being the data-dependent watershed floods:
+
+  stage 1  [device, one launch]  row-shift build + masked normalize of
+           all S surfaces, plus the watershed elevation input
+           (segment2d.pore_surface_batch)
+  host     peak finding + priority-flood watershed per state
+           (imaging.py, native C++ flood — data-dependent flood order
+           cannot be a fixed-shape XLA program)
+  stage 2  [device, one launch]  fused per-phase averages, free
+           energies, ridge diagnostics, transition states, and
+           activation matrices for every state
+           (segment2d.pore_phase_batch)
+
+Failure handling follows the framework invariant: ridgeline effects and
+empty states become per-state mask/validity flags, not exceptions
+(the class path pore_hist.phase_average keeps the reference's raise
+semantics).
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from ..core import segment2d as _s2d
+from .imaging import peak_local_max, watershed
+
+__all__ = ["pore_state_sweep"]
+
+_PORE_CUTOFF = 10.0  # ridgeline bar (pore_hist.pyx:196)
+
+_JIT = None
+
+
+def _jits():
+    global _JIT
+    if _JIT is None:
+        import jax
+
+        _JIT = {
+            "surface": jax.jit(_s2d.pore_surface_batch),
+            "phase": jax.jit(_s2d.pore_phase_batch, static_argnames="max_phases"),
+        }
+    return _JIT
+
+
+def _footprint(len_H: int, len_N: int, nnebr: int):
+    """Scaled watershed footprint (pore_hist.pyx:396-409) — depends on
+    the surface shape only, shared by every state in the batch."""
+    n_incrs = float(len_N - 1)
+    h_incrs = float(len_H - 1)
+    if h_incrs >= n_incrs:
+        scale_h, scale_n = 1.0, h_incrs / n_incrs
+    else:
+        scale_h, scale_n = n_incrs / h_incrs, 1.0
+    fp_x = int(np.round(scale_n * nnebr)) * 2 + 1
+    fp_y = int(np.round(scale_h * nnebr)) * 2 + 1
+    return np.ones((fp_x, fp_y))
+
+
+def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10):
+    """Phase analysis of lnPI(h, N_tot) over S pore state points.
+
+    Parameters
+    ----------
+    joint_hist : two_dim.joint_hist (made or unmade)
+    fh         : F(h) callable (free_energy_profile.*)
+    p_vals     : f64[S] total pressures
+    beta_vals  : f64[S] inverse temperatures (paired with p_vals)
+    A          : cross-sectional area
+    nnebr, max_peaks : segmentation knobs (pore_hist.phase_average)
+
+    Returns a dict of slot-padded host arrays (P = max_peaks + 1 slots):
+      prop_names   list[K]
+      ave          f64[S, P, K]   per-phase probability averages
+      fe           f64[S, P]      F.E./kT per phase
+      act_kT       f64[S, P, P]   activation free energies
+      act_kT_diff  f64[S, P, P]
+      n_phases     i64[S]         live watershed phases per state
+      phase_ok     bool[S, P]     slot validity
+      ridge_ok     bool[S]        no ridgeline effects in any live phase
+      lnpi         f64[S, H, N]   normalized surfaces
+      labels       i32[S, H, N]   watershed labels
+      local_maxima list[S] of i64[n_phases_s, 2] peak coordinates
+    """
+    jh = copy.deepcopy(joint_hist)
+    jh.make()
+    hd = jh.data
+    assert np.all(hd["op_2"] == np.arange(len(hd["op_2"]))), "Must be 0 <= N <= N_max in a continuous fashion"
+    assert np.all(hd["bounds_idx"][:, 0] == 0), "Lower bound for N must start from 0"
+    edge_idx = np.array(hd["bounds_idx"][:, 1], dtype=int)
+
+    p_vals = np.asarray(p_vals, dtype=np.float64)
+    beta_vals = np.asarray(beta_vals, dtype=np.float64)
+    assert p_vals.shape == beta_vals.shape and p_vals.ndim == 1, "p_vals/beta_vals must be matching 1-D state lists"
+    S = len(p_vals)
+
+    lnpi_raw = np.asarray(hd["ln(PI)"], dtype=np.float64)
+    H, N = lnpi_raw.shape
+    h_vals = np.asarray(hd["op_1"], dtype=np.float64)
+    fh_vals = np.array([fh(h) for h in h_vals], dtype=np.float64)
+    valid = np.asarray(_s2d.valid_mask_2d(edge_idx, N))
+    prop_names = list(hd["props"])
+    props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
+
+    # stage 1: all S surfaces in one launch
+    lnpi_b, x_b = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_vals, float(A), beta_vals, valid)
+    lnpi_b = np.asarray(lnpi_b)
+    x_b = np.asarray(x_b)
+
+    # host: data-dependent segmentation per state (native flood)
+    P = max_peaks + 1  # background slot convention of pore_hist.phase_average
+    fp = _footprint(H, N, nnebr)
+    labels_b = np.zeros((S, H, N), dtype=np.int32)
+    n_labels = np.zeros(S, dtype=np.int64)
+    peak_lnpi = np.zeros((S, P), dtype=np.float64)
+    local_maxima = []
+    for s in range(S):
+        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P, footprint=fp)
+        local_maxima.append(lm)
+        n_max = len(lm)
+        n_labels[s] = n_max
+        markers = np.zeros((H, N), dtype=int)
+        for i in range(n_max):
+            markers[lm[i][0], lm[i][1]] = i + 1
+        labels_b[s] = watershed(-x_b[s], markers=markers, mask=valid, connectivity=fp)
+        if n_max:
+            peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
+
+    # stage 2: fused per-phase analysis of all S states in one launch
+    core = _jits()["phase"](lnpi_b, labels_b, valid, edge_idx, props, peak_lnpi, n_labels, max_phases=P)
+    out = {k: np.asarray(v) for k, v in core.items()}
+
+    ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)
+    out["ridge_ok"] = np.all(ridge >= _PORE_CUTOFF, axis=1)
+    out["prop_names"] = prop_names
+    out["n_phases"] = n_labels
+    out["lnpi"] = lnpi_b
+    out["labels"] = labels_b
+    out["local_maxima"] = local_maxima
+    return out
