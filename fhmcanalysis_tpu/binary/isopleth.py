@@ -115,7 +115,7 @@ def _source_derivs(h: Hist, meta: HistMeta, mu1_v, beta_target, cutoff, order: i
     return jax.vmap(one)(jnp.asarray(mu1_v))
 
 
-@partial(jax.jit, static_argnames=("meta", "order"))
+@partial(jax.jit, static_argnames=("meta", "order", "collect"))
 def _grid_eval(
     lnpi_b,  # [2, NY, NX, N]       bracketed reweighted lnPI (host pre-gathered)
     mom_key_b,  # [2, NY, K, N]     key moment rows of the sources
@@ -133,9 +133,14 @@ def _grid_eval(
     volume,
     cutoff,
     order: int,
+    collect=None,
 ):
     """Stage 2: extrapolate both bracket sources, mix, segment, integrate,
     pick most stable phase — for every (mu_1, dmu_2) cell at once.
+
+    collect: optional segment.COLLECT_TRANSFORMS key ("janus") applied
+    between segmentation and the bounds walk, matching the thermo hook
+    (gc_hist.pyx:484-486) on every cell.
 
     All bracket selection happens on the HOST (lr comes from bisect in
     make_grid): inputs arrive pre-gathered with a leading (left,right)
@@ -168,6 +173,8 @@ def _grid_eval(
         e = jnp.exp(ln_m - m)
         # segment ONCE: thermo bounds and the is_safe extremum share it
         ext = _segment.relextrema(ln_m, meta.smooth, meta.max_phases)
+        if collect is not None:
+            ext = _segment.COLLECT_TRANSFORMS[collect](ext, meta.max_phases)
         n = ln_m.shape[-1]
         lefts, rights, pmask = _segment.phase_bounds(ext, n, meta.max_phases)
         bounds = (lefts, rights, pmask, ext.n_max, ext.valid)
@@ -271,7 +278,7 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="xla"):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="xla", collect=None):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
@@ -293,6 +300,10 @@ class isopleth(object):
         per-lane cost), pallas edges ahead at scale; "auto" picks pallas
         on TPU for grids >= 64k cells.  pallas is single-device (no
         mesh) and falls back to XLA on Mosaic failure under "auto".
+
+        collect: optional segment.COLLECT_TRANSFORMS key ("janus")
+        applied per cell (both engines; kernel parity tested in
+        tests/test_pallas_iso.py).
         """
         mu1_v_full, dmu2_v = self._grids(mu1_bounds, dmu2_bounds, delta)
         self.data["X"], self.data["Y"] = np.meshgrid(mu1_v_full, dmu2_v)
@@ -310,7 +321,9 @@ class isopleth(object):
                 raise Exception("Isopleth source histograms must share the same order-parameter range")
 
         use_pallas = engine == "pallas"
-        if engine == "auto" and mesh is None and self.data["X"].size >= 65536:
+        if use_pallas and collect not in (None, "janus"):
+            raise NotImplementedError("the pallas isopleth kernel implements only the 'janus' collect; use engine='xla' or 'auto'")
+        if engine == "auto" and mesh is None and self.data["X"].size >= 65536 and collect in (None, "janus"):
             from ..core.pipeline import _PALLAS_OK
 
             if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True):
@@ -319,7 +332,7 @@ class isopleth(object):
             if mesh is not None:
                 raise NotImplementedError("pallas isopleth engine is single-device; drop mesh= or use engine='xla'")
             try:
-                self._grid_block_kernel(mu1_v_full, dmu2_v, m)
+                self._grid_block_kernel(mu1_v_full, dmu2_v, m, collect=collect)
                 from ..core.pipeline import _PALLAS_OK
 
                 _PALLAS_OK["iso"] = True
@@ -348,13 +361,13 @@ class isopleth(object):
 
         cols = []
         for start in range(0, len(mu1_v_full), mu1_chunk):
-            cols.append(self._grid_block(mu1_v_full[start : start + mu1_chunk], dmu2_v, m, mesh=mesh))
+            cols.append(self._grid_block(mu1_v_full[start : start + mu1_chunk], dmu2_v, m, mesh=mesh, collect=collect))
 
         for key in ("Z", "density", "F.E./kT", "valid"):
             self.data[key] = np.concatenate([c[key] for c in cols], axis=1)
         return self.data["Z"], (self.data["X"], self.data["Y"])
 
-    def _grid_block(self, mu1_v, dmu2_v, m, mesh=None):
+    def _grid_block(self, mu1_v, dmu2_v, m, mesh=None, collect=None):
         """One mu_1 block of the surface: stage-1 derivatives + stage-2
         cell evaluation.
 
@@ -450,6 +463,7 @@ class isopleth(object):
             float(src0.data["volume"]),
             self.meta["cutoff"],
             self.meta["order"],
+            collect,
         )
 
         # meshgrid "xy" convention: rows are dmu2, columns mu1
@@ -461,7 +475,7 @@ class isopleth(object):
             "valid": np.asarray(ok)[:, :nx_out],
         }
 
-    def _grid_block_kernel(self, mu1_v, dmu2_v, m, mode=None):
+    def _grid_block_kernel(self, mu1_v, dmu2_v, m, mode=None, collect=None):
         """Whole surface through the fused pallas cell kernel."""
         from ..core.pallas_iso import iso_grid_ds
 
@@ -471,7 +485,7 @@ class isopleth(object):
         metas = tuple(h._meta() for h in hs)
         z, rho, fe, ok = iso_grid_ds(
             srcs, metas, mu1_v, dmu2_v, lr, wts,
-            self.meta["beta"], self.meta["order"], self.meta["cutoff"], mode=mode,
+            self.meta["beta"], self.meta["order"], self.meta["cutoff"], mode=mode, collect=collect,
         )
         self.data["Z"] = np.asarray(z)
         self.data["density"] = np.asarray(rho)

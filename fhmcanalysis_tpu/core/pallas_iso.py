@@ -77,7 +77,7 @@ def _sel_src(srcs, idx):
     return out
 
 
-def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cutoff, barriers=False):
+def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cutoff, barriers=False, collect=None):
     """One block of isopleth cells in lanes layout (pure jnp).
 
     lane_f: [8, L] f32 — pairs (mu1, dmu2_t, w0, w1)
@@ -140,7 +140,7 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
     ln_m = mix(xLh, xLl, xRh, xRl)
     keys_m = [mix(keysL[k][0], keysL[k][1], keysR[k][0], keysR[k][1]) for k in range(S + 1)]
 
-    pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers)
+    pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers, collect)
 
     # is_safe (gc_hist.pyx:556-596): value at the LAST maximum minus the
     # tail must reach cutoff; the last phase's pair max IS that value
@@ -266,9 +266,9 @@ def _mb_len(N, S, order):
 # ----------------------------------------------------------------------
 
 
-def _kernel(lf_ref, li_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, order, cutoff, W):
+def _kernel(lf_ref, li_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, order, cutoff, W, collect):
     srcs, shared = _iso_unpack(cst_ref[:], N, S, order, W)
-    f, i = iso_block_lanes(lf_ref[0], li_ref[0], srcs, shared, N, smooth, P, S, order, cutoff)
+    f, i = iso_block_lanes(lf_ref[0], li_ref[0], srcs, shared, N, smooth, P, S, order, cutoff, collect=collect)
     out_f_ref[0] = f
     out_i_ref[0] = i
 
@@ -300,8 +300,8 @@ def _lanes(mu1_v, dmu2_v, lr, wts, block):
     return lf, li, B, nb, NY, NX
 
 
-@partial(jax.jit, static_argnames=("N", "smooth", "P", "S", "order", "cutoff", "W", "block", "nb", "interpret"))
-def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret):
+@partial(jax.jit, static_argnames=("N", "smooth", "P", "S", "order", "cutoff", "W", "block", "nb", "interpret", "collect"))
+def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret, collect=None):
     NRF, NRI = 6, 1
     import sys
 
@@ -309,7 +309,7 @@ def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret
         sys.setrecursionlimit(40000)
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, smooth=smooth, P=P, S=S, order=order, cutoff=cutoff, W=W),
+        partial(_kernel, N=N, smooth=smooth, P=P, S=S, order=order, cutoff=cutoff, W=W, collect=collect),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 8, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -331,7 +331,7 @@ def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret
     return out_f, out_i
 
 
-def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, interpret):
+def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, interpret, collect=None):
     meta = metas[0]
     P, S = meta.max_phases, meta.nspec
     N = sources[0].lnpi.shape[-1]
@@ -339,7 +339,7 @@ def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, c
     W = len(sources)
     lf, li, B, nb, NY, NX = _lanes(mu1_v, dmu2_v, lr, wts, block)
     cst = _iso_const(sources, metas, NPAD, order, beta_target)
-    out_f, out_i = _launch(lf, li, cst, N, meta.smooth, P, S, order, cutoff, W, block, nb, interpret)
+    out_f, out_i = _launch(lf, li, cst, N, meta.smooth, P, S, order, cutoff, W, block, nb, interpret, collect)
     out_f = out_f[:, :B]
     out_i = out_i[:, :B]
     z = ds.join_f64(out_f[0], out_f[1]).reshape(NY, NX)
@@ -349,7 +349,7 @@ def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, c
     return z, rho, fe, ok
 
 
-def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff):
+def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, collect=None):
     """EAGER reference path (CPU tests); same body, one block."""
     meta = metas[0]
     P, S = meta.max_phases, meta.nspec
@@ -361,7 +361,7 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     assert nb == 1
     cst = _iso_const(sources, metas, NPAD, order, beta_target)
     srcs, shared = _iso_unpack(cst, N, S, order, W)
-    f, i = iso_block_lanes(lf[0], li[0], srcs, shared, N, meta.smooth, P, S, order, cutoff, barriers=True)
+    f, i = iso_block_lanes(lf[0], li[0], srcs, shared, N, meta.smooth, P, S, order, cutoff, barriers=True, collect=collect)
     z = ds.join_f64(f[0], f[1]).reshape(NY, NX)
     rho = ds.join_f64(f[2], f[3]).reshape(NY, NX)
     fe = ds.join_f64(f[4], f[5]).reshape(NY, NX)
@@ -369,7 +369,7 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     return z, rho, fe, ok
 
 
-def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None):
+def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None, collect=None):
     """Evaluate an isopleth grid block with the fused cell kernel.
 
     sources: list of Hist; lr/wts: host bracket indices/weights per dmu2
@@ -394,9 +394,11 @@ def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     metas = tuple(metas)
     if order == 2 and metas[0].nspec != 2:
         raise NotImplementedError("order-2 kernel is nspec==2 only")
+    if collect not in (None, "janus"):
+        raise NotImplementedError("lanes collect transforms: only 'janus'")
     if mode == "xla":
-        return _iso_ds_xla(sources, metas, mu1_v, dmu2_v, np.asarray(lr), np.asarray(wts), beta_target, order, cutoff)
+        return _iso_ds_xla(sources, metas, mu1_v, dmu2_v, np.asarray(lr), np.asarray(wts), beta_target, order, cutoff, collect)
     return _iso_ds_pallas(
         sources, metas, jnp.asarray(mu1_v), jnp.asarray(dmu2_v), np.asarray(lr), np.asarray(wts),
-        float(beta_target), order, float(cutoff), block, mode == "interpret",
+        float(beta_target), order, float(cutoff), block, mode == "interpret", collect,
     )

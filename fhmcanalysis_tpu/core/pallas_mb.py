@@ -280,11 +280,12 @@ def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mo
     return xh, xl, keys2, (mh, ml)
 
 
-def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False):
+def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False, collect=None):
     """One block of the extrapolating sweep in lanes layout (pure jnp).
 
     lane_rows: [2*(3+S1), L] f32 — pair rows (a, mu, dB, dDmu_q...)
     cst unpacked by _unpack_cst_mb.
+    collect: None or "janus" (thermo_lanes collect transform).
     """
     S1 = S - 1
     (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2) = _unpack_cst_mb(cst, N, S, order)
@@ -299,7 +300,7 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_
     src = {"lnpi": lnpi, "keys": keys, "dkeydB": dkeydB, "dkeydMU": dkeydMU, "dmuref": dmuref, "o2": o2}
     lanes = {"a": lane(0), "mu": lane(1), "db": lane(2), "dds": [lane(3 + q) for q in range(S1)]}
     xh, xl, keys2, _ = extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props)
-    return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers)
+    return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers, collect)
 
 
 # ----------------------------------------------------------------------
@@ -426,15 +427,15 @@ def _lane_rows(h: Hist, mu_grid, beta_grid, dmu_grid, block):
 # ----------------------------------------------------------------------
 
 
-def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props, order, first_order_mom):
-    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props, order, first_order_mom)
+def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props, order, first_order_mom, collect):
+    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props, order, first_order_mom, collect=collect)
     f, i = _pack_rows(out, P, S, props)
     out_f_ref[0] = f
     out_i_ref[0] = i
 
 
-@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "order", "first_order_mom"))
-def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool, order: int = 1, first_order_mom: bool = False):
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "order", "first_order_mom", "collect"))
+def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool, order: int = 1, first_order_mom: bool = False, collect=None):
     P, S = meta.max_phases, meta.nspec
     N = h.lnpi.shape[-1]
     NPAD = _npad(N)
@@ -449,7 +450,7 @@ def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: 
         sys.setrecursionlimit(20000)
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props, order=order, first_order_mom=first_order_mom),
+        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props, order=order, first_order_mom=first_order_mom, collect=collect),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, NL, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -470,7 +471,7 @@ def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: 
     return _unpack(out_f, out_i, B, P, S, props)
 
 
-def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, order: int = 1, first_order_mom: bool = False):
+def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, order: int = 1, first_order_mom: bool = False, collect=None):
     """EAGER reference path (CPU tests) — see pallas_sweep._sweep_ds_xla
     for why it is not jitted (XLA:CPU fusion blowup on this DAG shape)."""
     P, S = meta.max_phases, meta.nspec
@@ -480,7 +481,7 @@ def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: boo
     lr, B2, nb = _lane_rows(h, mu_grid, beta_grid, dmu_grid, block=B)
     assert B2 == B and nb == 1
     cst = _const_block_mb(h, meta, NPAD, order)
-    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, order, first_order_mom, barriers=True)
+    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, order, first_order_mom, barriers=True, collect=collect)
     f, i = _pack_rows(out, P, S, props)
     return _unpack(f, i, B, P, S, props)
 
@@ -496,15 +497,19 @@ def mu_beta_sweep_thermo_ds(
     mode: str | None = None,
     order: int = 1,
     first_order_mom: bool = False,
+    collect=None,
 ):
     """Drop-in for pipeline.mu_beta_sweep_thermo (orders 1-2) running the
     fused double-single Pallas kernel (see module docstring).  Output dict
     matches the XLA path's [M, A] leading axes (plus left/right bounds).
 
     mode: "pallas" (TPU), "xla" (eager CPU reference), None = auto.
+    collect: None or "janus" (thermo_lanes transform, VERDICT r1 item 5).
     """
     if order < 1 or order > 2:
         raise ValueError("kernel implements orders 1-2")
+    if collect not in (None, "janus"):
+        raise NotImplementedError("lanes collect transforms: only 'janus'")
     if order == 2 and meta.nspec != 2:
         raise NotImplementedError("order-2 kernel is nspec==2 only")
     if meta.used_ke:
@@ -525,7 +530,7 @@ def mu_beta_sweep_thermo_ds(
 
     M, A = mu_grid.shape[0], beta_grid.shape[0]
     if mode == "xla":
-        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props, order, first_order_mom)
+        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props, order, first_order_mom, collect)
     else:
-        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret", order, first_order_mom)
+        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret", order, first_order_mom, collect)
     return jax.tree_util.tree_map(lambda v: v.reshape((M, A) + v.shape[1:]), flat)

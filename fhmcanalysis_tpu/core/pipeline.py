@@ -212,16 +212,17 @@ def mu_beta_sweep_thermo(
     engine: "auto" (default) runs the fused double-single Pallas kernel
     on TPU at orders 1-2 (core/pallas_mb.py; measured 4-10x the XLA path
     at identical 1e-8 parity; order 2 requires nspec==2 — the reference's
-    own mom_prod limit), falling back to XLA for collect, used_ke
-    histograms, off-TPU, or Mosaic failure.  "xla"/"pallas" force a path.
+    own mom_prod limit), falling back to XLA for non-janus collect
+    transforms, used_ke histograms, off-TPU, or Mosaic failure.
+    "xla"/"pallas" force a path.
     """
     use_pallas = engine == "pallas"
-    if use_pallas and collect is not None:
-        raise NotImplementedError("the pallas mu-beta kernel has no collect transform; use engine='xla' or 'auto'")
+    if use_pallas and collect not in (None, "janus"):
+        raise NotImplementedError("the pallas mu-beta kernel implements only the 'janus' collect; use engine='xla' or 'auto'")
     if (
         engine == "auto"
         and (order == 1 or (order == 2 and meta.nspec == 2))
-        and collect is None
+        and collect in (None, "janus")
         and not meta.used_ke
         and jax.default_backend() == "tpu"
         and _PALLAS_OK.get("mb", True)
@@ -232,7 +233,7 @@ def mu_beta_sweep_thermo(
 
         try:
             out = mu_beta_sweep_thermo_ds(
-                h, meta, mu_grid, beta_grid, dmu_grid, props=props, order=order, first_order_mom=first_order_mom
+                h, meta, mu_grid, beta_grid, dmu_grid, props=props, order=order, first_order_mom=first_order_mom, collect=collect
             )
             _PALLAS_OK["mb"] = True
             return out

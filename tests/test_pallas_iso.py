@@ -63,3 +63,54 @@ def test_iso_kernel_rejects_mismatched_op():
             (h0, h1_bad), metas, np.linspace(-9, -7, 4), np.linspace(-9.9, -9.1, 3),
             np.array([[0, 1]] * 3), np.array([[0.5, 0.5]] * 3), 1.02, 1, 10.0, mode="xla",
         )
+
+
+def _three_peak_sources(dmu2s):
+    """Sources whose lnPI carries three peaks so the janus transform is
+    active on most cells (it is a no-op below 3 maxima).  The first two
+    peaks are individually weaker than the last but jointly stronger:
+    merging them flips the most-stable phase, so the grid outputs must
+    visibly change under collect="janus"."""
+    srcs = _sources(FIXTURE, dmu2s)
+    n = len(srcs[0].data["ln(PI)"])
+    x = np.linspace(0.0, 1.0, n)
+    y = (
+        11.5 * np.exp(-((x - 0.15) ** 2) / 0.004)
+        + 11.3 * np.exp(-((x - 0.45) ** 2) / 0.003)
+        + 12 * np.exp(-((x - 0.8) ** 2) / 0.006)
+    )
+    for h in srcs:
+        h.data["ln(PI)"] = np.array(y)
+    return srcs
+
+
+def test_iso_kernel_janus_collect_parity():
+    """Cell-kernel janus vs the batched XLA grid janus (VERDICT r1
+    item 5), and janus actually changes the surface vs collect=None."""
+    srcs = _three_peak_sources([-10.0, -9.0])
+    beta_t, mu1_b, dmu2_b, delta = 1.001, (4.9, 5.1), (-9.9, -9.1), (0.02, 0.1)
+
+    a = isopleth(srcs, beta_t, order=1)
+    Za, _ = a.make_grid(mu1_b, dmu2_b, delta, collect="janus")
+    b = isopleth(srcs, beta_t, order=1)
+    Zb, _ = b.make_grid(mu1_b, dmu2_b, delta, engine="pallas", collect="janus")
+    np.testing.assert_array_equal(a.data["valid"], b.data["valid"])
+    ok = a.data["valid"].astype(bool)
+    assert ok.sum() > 0.3 * ok.size, "grid mostly invalid — comparison vacuous"
+    for k in ("Z", "density", "F.E./kT"):
+        d = np.max(np.abs(np.where(ok, a.data[k] - b.data[k], 0.0)))
+        assert d < 1e-9, (k, d)
+
+    c = isopleth(srcs, beta_t, order=1)
+    c.make_grid(mu1_b, dmu2_b, delta)
+    both = ok & c.data["valid"].astype(bool)
+    assert np.max(np.abs(np.where(both, a.data["F.E./kT"] - c.data["F.E./kT"], 0.0))) > 1e-6, (
+        "janus made no difference on a 3-peak surface — transform not applied?"
+    )
+
+
+def test_iso_collect_rejects_unknown():
+    srcs = _sources(FIXTURE, [-10.0, -9.0])
+    a = isopleth(srcs, 1.02, order=1)
+    with pytest.raises(NotImplementedError):
+        a.make_grid((-9.0, -8.0), (-9.9, -9.5), (0.5, 0.2), engine="pallas", collect="nope")

@@ -113,3 +113,35 @@ def test_mb_order2_identity(fixture_hist_o3):
     for k in ("fe", "ntot", "u"):
         d = np.max(np.abs(np.where(msk, np.asarray(got[k])[:, 0] - np.asarray(want[k]), 0.0)))
         assert d < 1e-10, (k, d)
+
+
+def test_mb_janus_collect_parity(fixture_hist):
+    """Lanes janus collect in the extrapolating kernel vs the XLA
+    mu_beta pipeline collect path on multi-peak surfaces (VERDICT r1
+    item 5: collect users must keep the kernel speedup)."""
+    hh, meta = fixture_hist
+    n = hh.lnpi.shape[-1]
+    x = np.linspace(0.0, 1.0, n)
+    surfaces = [
+        5 * np.exp(-((x - 0.15) ** 2) / 0.004) + 4 * np.exp(-((x - 0.45) ** 2) / 0.003) + 12 * np.exp(-((x - 0.8) ** 2) / 0.006),
+        sum(a * np.exp(-((x - c) ** 2) / w) for c, w, a in [(0.1, 0.002, 6), (0.35, 0.002, 5), (0.6, 0.002, 7), (0.85, 0.003, 14)]),
+        8 * np.exp(-((x - 0.3) ** 2) / 0.005) + 9 * np.exp(-((x - 0.75) ** 2) / 0.005),  # 2 peaks: no-op
+    ]
+    mus = np.linspace(4.9, 5.1, 12)
+    betas = np.linspace(0.96, 1.04, 3)
+    dmus = np.linspace(-5.2, -4.8, 3)[:, None]
+    for y in surfaces:
+        h2 = hh.replace(lnpi=hh.lnpi * 0 + y)
+        got = mu_beta_sweep_thermo_ds(h2, meta, mus, betas, dmus, props=True, mode="xla", collect="janus")
+        want = P.mu_beta_sweep_thermo(h2, meta, mus, betas, dmus, order=1, props=True, collect="janus", engine="xla")
+        for k in ("valid", "mask", "n_phases", "left", "right"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+        msk = np.asarray(want["mask"])
+        for k in ("fe", "ntot"):
+            d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+            assert d < 1e-9, (k, d)
+
+
+def test_mb_collect_rejects_unknown():
+    with pytest.raises(NotImplementedError):
+        mu_beta_sweep_thermo_ds(None, None, np.zeros(1), np.zeros(1), np.zeros((1, 1)), collect="nope")
