@@ -145,40 +145,33 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
     # is_safe (gc_hist.pyx:556-596): value at the LAST maximum minus the
     # tail must reach cutoff; the last phase's pair max IS that value
     n_max = pt["n_phases"]
-    lmh = jnp.zeros_like(mu1[0])
-    lml = jnp.zeros_like(mu1[1])
-    for p_i in range(P):
-        on = (n_max - 1) == p_i
-        lmh = lmh + jnp.where(on, pt["phase_max"][p_i][0], F32(0.0))
-        lml = lml + jnp.where(on, pt["phase_max"][p_i][1], F32(0.0))
+    pm_h, pm_l = pt["phase_max"]  # stacked [P, L]
+    riP = lax.broadcasted_iota(I32, pm_h.shape, 0)
+    on_last = riP == (n_max - np.int32(1))
+    lmh = jnp.sum(jnp.where(on_last, pm_h, F32(0.0)), axis=0, keepdims=True)
+    lml = jnp.sum(jnp.where(on_last, pm_l, F32(0.0)), axis=0, keepdims=True)
     tail_m = (ln_m[0][last : last + 1], ln_m[1][last : last + 1])
     diff = ds.ds_sub(lmh, lml, *tail_m)
     safe = ~ds.ds_lt(*diff, F32(cutoff), F32(0.0))
     ok = pt["valid"] & safe & edgeL & edgeR
 
-    # most stable phase: masked argmin of the pair free energies
-    best_h = jnp.full_like(mu1[0], jnp.inf)
-    best_l = jnp.full_like(mu1[1], jnp.inf)
-    stable = jnp.zeros_like(idxL)
-    for p_i in range(P):
-        fh, fl = pt["fe"][p_i]
-        cand_h = jnp.where(pt["mask"][p_i], fh, F32(jnp.inf))
-        cand_l = jnp.where(pt["mask"][p_i], fl, F32(jnp.inf))
-        better = ds.ds_lt(cand_h, cand_l, best_h, best_l)
-        best_h = jnp.where(better, cand_h, best_h)
-        best_l = jnp.where(better, cand_l, best_l)
-        stable = jnp.where(better, np.int32(p_i), stable)
+    # most stable phase: masked lexicographic argmin of the stacked pair
+    # free energies; ties keep the lowest slot (the serial loop's rule)
+    fe_h, fe_l = pt["fe"]
+    cand_h = jnp.where(pt["mask"], fe_h, F32(jnp.inf))
+    cand_l = jnp.where(pt["mask"], fe_l, F32(jnp.inf))
+    best_h = jnp.min(cand_h, axis=0, keepdims=True)
+    best_l = jnp.min(jnp.where(cand_h == best_h, cand_l, F32(jnp.inf)), axis=0, keepdims=True)
+    tie = (cand_h == best_h) & (cand_l == best_l)
+    stable = jnp.min(jnp.where(tie, riP, np.int32(jnp.iinfo(jnp.int32).max)), axis=0, keepdims=True)
 
-    def pick(pairs):
-        hh = jnp.zeros_like(mu1[0])
-        ll = jnp.zeros_like(mu1[1])
-        for p_i in range(P):
-            on = stable == p_i
-            hh = hh + jnp.where(on, pairs[p_i][0], F32(0.0))
-            ll = ll + jnp.where(on, pairs[p_i][1], F32(0.0))
+    def pick(stk):
+        on = riP == stable
+        hh = jnp.sum(jnp.where(on, stk[0], F32(0.0)), axis=0, keepdims=True)
+        ll = jnp.sum(jnp.where(on, stk[1], F32(0.0)), axis=0, keepdims=True)
         return hh, ll
 
-    z = pick([pt["x_i"][p_i][0] for p_i in range(P)])
+    z = pick(pt["x_i"][0])
     rho = pick(pt["density"])
     fe = pick(pt["fe"])
 

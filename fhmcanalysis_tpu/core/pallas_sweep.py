@@ -91,8 +91,8 @@ def _cumsum_rows(v):
 
 def _compress_rows(flags, rows, size):
     """segment._compress_indices in lanes layout: indices (row numbers)
-    where flags is True, ascending, padded with BIG.  Returns (list of
-    [1,L] i32 rows, count [1,L])."""
+    where flags is True, ascending, padded with BIG.  Returns (stacked
+    [size, L] i32, count [1, L])."""
     pos = _cumsum_rows(flags.astype(I32)) - 1
     # dtype pinned: under x64, jnp.sum(int32) accumulates int64, which the
     # Mosaic lowering rejects outright
@@ -102,19 +102,18 @@ def _compress_rows(flags, rows, size):
         sel = flags & (pos == s)
         idx = jnp.sum(jnp.where(sel, rows, np.int32(0)), axis=0, keepdims=True, dtype=I32)
         out.append(jnp.where(s < count, idx, BIG))
-    return out, count
+    return jnp.concatenate(out, axis=0), count
 
 
-def _row_select(rows_list, i, clip=True):
-    """rows_list[i] for a per-lane dynamic scalar index i ([1,L]): one-hot
-    sum over static rows (parity with segment._take_small, incl. clipping)."""
-    n = len(rows_list)
+def _row_select(stk, i, clip=True):
+    """stk[i] for a per-lane dynamic scalar index i ([1,L]) over a stacked
+    [R, L] array: one-hot row sum (parity with segment._take_small, incl.
+    clipping).  Full-sublane [R, L] ops instead of R [1, L] selects."""
+    n = stk.shape[0]
     if clip:
         i = jnp.clip(i, np.int32(0), np.int32(n - 1))
-    acc = jnp.zeros_like(rows_list[0])
-    for r in range(n):
-        acc = acc + jnp.where(i == r, rows_list[r], np.int32(0))
-    return acc
+    ri = lax.broadcasted_iota(I32, stk.shape, 0)
+    return jnp.sum(jnp.where(ri == i, stk, np.int32(0)), axis=0, keepdims=True, dtype=I32)
 
 
 def _masked_pair_max(xh, xl, m, neg_inf):
@@ -128,9 +127,12 @@ def _masked_pair_max(xh, xl, m, neg_inf):
 def _relextrema_lanes(xh, xl, rows, N, smooth, P):
     """segment.relextrema (gc_hist.pyx:317-415 parity) in lanes layout.
 
-    Returns dict with maxima (list of P [1,L] rows), minima (P+1 rows),
-    n_max, n_min, valid, plus the global pair max (reused as the default
-    integration shift).
+    Returns dict with stacked maxima [P, L], minima [P+1, L], n_max,
+    n_min, valid ([1, L]), plus the global pair max (reused as the
+    default integration shift).  All repair/alternation logic runs on
+    the stacked rows — one [P, L] op instead of P [1, L] ops (the
+    unrolled row lists ran at 1/8 sublane utilization and dominated
+    both VPU time and Mosaic compile latency).
     """
     last = np.int32(N - 1)
     real = rows < N
@@ -162,21 +164,25 @@ def _relextrema_lanes(xh, xl, rows, N, smooth, P):
     fmax = (any_ext & is_max) | (~any_ext & real & (xh == gmax_h) & (xl == gmax_l))
     fmin = (any_ext & is_min) | (~any_ext & real & (xh == gmin_h) & (xl == gmin_l))
 
-    maxima0, n_max0 = _compress_rows(fmax, rows, P)
-    minima0, n_min0 = _compress_rows(fmin, rows, P + 1)
+    maxima0, n_max0 = _compress_rows(fmax, rows, P)  # [P, L]
+    minima0, n_min0 = _compress_rows(fmin, rows, P + 1)  # [P+1, L]
+    L = xh.shape[-1]
+    riP = lax.broadcasted_iota(I32, (P, L), 0)
+    riP1 = lax.broadcasted_iota(I32, (P + 1, L), 0)
 
     max_only = has_max & ~has_min
     min_only = has_min & ~has_max
     none_case = ~any_ext
 
     # --- both-found endpoint rules (gc_hist.pyx:333-351) ---
-    zero_in = (maxima0[0] == 0) | (minima0[0] == 0)
-    pre_min = (~zero_in) & (maxima0[0] < minima0[0])
-    pre_max = (~zero_in) & (maxima0[0] > minima0[0])
+    zero_in = (maxima0[:1] == 0) | (minima0[:1] == 0)
+    pre_min = (~zero_in) & (maxima0[:1] < minima0[:1])
+    pre_max = (~zero_in) & (maxima0[:1] > minima0[:1])
     validB = zero_in | pre_min | pre_max
-    minimaB = [jnp.where(pre_min, jnp.zeros_like(minima0[0]) if r == 0 else minima0[r - 1], minima0[r]) for r in range(P + 1)]
+    # prepend-0 = rows shifted down one with a zero row in front
+    minimaB = jnp.where(pre_min, jnp.concatenate([jnp.zeros_like(minima0[:1]), minima0[:-1]], axis=0), minima0)
     n_minB = n_min0 + pre_min.astype(I32)
-    maximaB = [jnp.where(pre_max, jnp.zeros_like(maxima0[0]) if r == 0 else maxima0[r - 1], maxima0[r]) for r in range(P)]
+    maximaB = jnp.where(pre_max, jnp.concatenate([jnp.zeros_like(maxima0[:1]), maxima0[:-1]], axis=0), maxima0)
     n_maxB = n_max0 + pre_max.astype(I32)
 
     last_mx = _row_select(maximaB, n_maxB - 1)
@@ -185,61 +191,69 @@ def _relextrema_lanes(xh, xl, rows, N, smooth, P):
     app_max = (~last_in) & (last_mx < last_mn)
     app_min = (~last_in) & (last_mx > last_mn)
     validB = validB & (last_in | app_max | app_min)
-    maximaB = [jnp.where(app_max & (n_maxB == r), last, maximaB[r]) for r in range(P)]
+    maximaB = jnp.where(app_max & (riP == n_maxB), last, maximaB)
     n_maxB = n_maxB + app_max.astype(I32)
-    minimaB = [jnp.where(app_min & (n_minB == r), last, minimaB[r]) for r in range(P + 1)]
+    minimaB = jnp.where(app_min & (riP1 == n_minB), last, minimaB)
     n_minB = n_minB + app_min.astype(I32)
 
     # --- merged over-smoothing repair (gc_hist.pyx:352-381) ---
-    big_row = jnp.full_like(maxima0[0], BIG)
-    anchor = [jnp.where(max_only, maxima0[r] if r < P else big_row, minima0[r]) for r in range(P + 1)]
+    anchor = jnp.where(max_only, jnp.concatenate([maxima0, jnp.full_like(maxima0[:1], BIG)], axis=0), minima0)
     n_anchor = jnp.where(max_only, n_max0, n_min0)
     vh = jnp.where(max_only, xh, -xh)
     vl = jnp.where(max_only, xl, -xl)
     gaps = []
     for g in range(P - 1):
-        in_gap = (rows >= anchor[g]) & (rows < anchor[g + 1])
+        in_gap = (rows >= anchor[g : g + 1]) & (rows < anchor[g + 1 : g + 2])
         gh = jnp.where(in_gap, vh, pos_inf)
         gl = jnp.where(in_gap, vl, pos_inf)
         mh = jnp.min(gh, axis=0, keepdims=True)
         ml = jnp.min(jnp.where(gh == mh, gl, pos_inf), axis=0, keepdims=True)
         first = jnp.min(jnp.where((gh == mh) & (gl == ml), rows, BIG), axis=0, keepdims=True)
         gaps.append(first.astype(I32))
-    filled = []
-    for s in range(P + 1):
-        # full_like, not jnp.where(py_int, py_int): two weak scalars make
-        # an int64 under x64, which Mosaic cannot cast back (infinite
-        # _convert_helper recursion on int64->int32)
-        f = jnp.full_like(maxima0[0], 0 if s == 0 else BIG)
-        if P - 1 > 0 and s >= 1:
-            gv = gaps[min(s - 1, P - 2)]
-            f = jnp.where(s <= n_anchor - 1, gv, f)
-        f = jnp.where(s == n_anchor, last, f)
-        filled.append(f)
+    # filled rows: s=0 -> 0; s in 1..P -> gaps[min(s-1, P-2)] where
+    # s <= n_anchor-1 else BIG; then row n_anchor overwritten with last.
+    # full_like, not jnp.where(py_int, py_int): two weak scalars make an
+    # int64 under x64, which Mosaic cannot cast back (infinite
+    # _convert_helper recursion on int64->int32)
+    # riP + 1 stands in for riP1[1:]: offset-slicing a broadcasted_iota
+    # along sublanes SIGABRTs Mosaic's apply-vector-layout pass (measured
+    # 2026-08-17, vector_extract_strided_slice_rule check failure); an
+    # iota of the target shape plus a constant lowers fine
+    zero_row = jnp.zeros_like(maxima0[:1])
+    if P >= 2:
+        gap_rows = jnp.concatenate(gaps + [gaps[-1]], axis=0)  # [P, L]
+        body = jnp.where(riP + 1 <= n_anchor - 1, gap_rows, jnp.full_like(gap_rows, BIG))
+    else:
+        body = jnp.full_like(riP, BIG)
+    filled = jnp.concatenate([zero_row, body], axis=0)  # [P+1, L]
+    filled = jnp.where(riP1 == n_anchor, last, filled)
 
     # --- exclusive case selects ---
     raw_max = max_only | none_case
     raw_min = min_only | none_case
-    maxima = [jnp.where(min_only, filled[r], jnp.where(raw_max, maxima0[r], maximaB[r])) for r in range(P)]
+    maxima = jnp.where(min_only, filled[:P], jnp.where(raw_max, maxima0, maximaB))
     n_max = jnp.where(min_only, n_anchor + 1, jnp.where(raw_max, n_max0, n_maxB))
-    minima = [jnp.where(max_only, filled[r], jnp.where(raw_min, minima0[r], minimaB[r])) for r in range(P + 1)]
+    minima = jnp.where(max_only, filled, jnp.where(raw_min, minima0, minimaB))
     n_min = jnp.where(max_only, n_anchor + 1, jnp.where(raw_min, n_min0, n_minB))
     valid = (max_only | min_only | none_case) | validB
 
     # --- alternation + ordering checks (gc_hist.pyx:402-415) ---
     valid = valid & (jnp.abs(n_max - n_min) <= 1)
     valid = valid & (n_max <= P) & (n_min <= P + 1) & (n_max >= 1)
-    max_first = maxima[0] < minima[0]
+    max_first = maxima[:1] < minima[:1]
     total = n_max + n_min
-    seq = []
-    for t in range(2 * (P + 1)):
-        sm = maxima[min(t // 2, P - 1)]
-        sn = minima[min(t // 2, P)]
-        seq.append(jnp.where(max_first, sm, sn) if t % 2 == 0 else jnp.where(max_first, sn, sm))
-    ok = jnp.ones_like(valid)
-    for t in range(2 * (P + 1) - 1):
-        ok = ok & (~(t + 1 < total) | (seq[t + 1] >= seq[t]))
-    valid = valid & ok
+    # the alternating sequence seq[2i] / seq[2i+1] = (max_first ?
+    # (mx_e[i], minima[i]) : (minima[i], mx_e[i])) with mx_e = maxima
+    # clip-extended one row; ordering holds iff every within-pair and
+    # cross-pair adjacent compare with t+1 < total is nondecreasing
+    mx_e = jnp.concatenate([maxima, maxima[P - 1 : P]], axis=0)  # [P+1, L]
+    even_v = jnp.where(max_first, mx_e, minima)
+    odd_v = jnp.where(max_first, minima, mx_e)
+    gate_w = (np.int32(2) * riP1 + np.int32(1)) < total
+    gate_c = (np.int32(2) * (riP + np.int32(1))) < total  # riP1[1:] sans iota slice
+    bad_w = jnp.sum((gate_w & (odd_v < even_v)).astype(I32), axis=0, keepdims=True, dtype=I32)
+    bad_c = jnp.sum((gate_c & (even_v[1:] < odd_v[:-1])).astype(I32), axis=0, keepdims=True, dtype=I32)
+    valid = valid & ((bad_w + bad_c) == 0)
 
     return {
         "maxima": maxima,
@@ -260,17 +274,18 @@ def _janus_lanes(ext, P):
     n_max-1 <= P, so its distance from any .5 rounding boundary is at
     least 1/(2P), far above f32 eps at index magnitudes.
     """
-    maxima, minima = ext["maxima"], ext["minima"]
+    maxima, minima = ext["maxima"], ext["minima"]  # [P, L], [P+1, L]
     n_max, n_min = ext["n_max"], ext["n_min"]
+    L = maxima.shape[-1]
+    riP = lax.broadcasted_iota(I32, (P, L), 0)
+    riP1 = lax.broadcasted_iota(I32, (P + 1, L), 0)
     nm1 = n_max - 1
-    msum = jnp.zeros_like(maxima[0])
-    for r in range(P):
-        msum = msum + jnp.where(r < nm1, maxima[r], np.int32(0))
+    msum = jnp.sum(jnp.where(riP < nm1, maxima, np.int32(0)), axis=0, keepdims=True, dtype=I32)
     mean = jnp.round(msum.astype(F32) / jnp.maximum(nm1, 1).astype(F32)).astype(I32)
     mx_last = _row_select(maxima, nm1)
-    new_max = [mean if r == 0 else (mx_last if r == 1 else jnp.full_like(mean, BIG)) for r in range(P)]
+    new_max = jnp.where(riP == 0, mean, jnp.where(riP == 1, mx_last, BIG))
 
-    lead = minima[0] == 0
+    lead = minima[:1] == 0
     last_mn = _row_select(minima, n_min - 1)
     prev_mn = _row_select(minima, n_min - 2)
     mid = (mean < last_mn) & (last_mn < mx_last)
@@ -280,15 +295,15 @@ def _janus_lanes(ext, P):
     s0 = jnp.where(lead, np.int32(0), jnp.where(mid, last_mn, jnp.where(tail, prev_mn, big)))
     s1 = jnp.where(lead & mid, last_mn, jnp.where(lead & tail, prev_mn, jnp.where((~lead) & tail, last_mn, big)))
     s2 = jnp.where(lead & tail, last_mn, big)
-    new_min = [s0, s1, s2] + [big] * (P - 2)
+    new_min = jnp.where(riP1 == 0, s0, jnp.where(riP1 == 1, s1, jnp.where(riP1 == 2, s2, BIG)))
     cnt = lead.astype(I32) + mid.astype(I32) + np.int32(2) * tail.astype(I32)
 
     apply = n_max > 2
     valid = ext["valid"] & (~apply | ~tail | (n_min > 1))
     out = dict(ext)
-    out["maxima"] = [jnp.where(apply, new_max[r], maxima[r]) for r in range(P)]
+    out["maxima"] = jnp.where(apply, new_max, maxima)
     out["n_max"] = jnp.where(apply, np.int32(2), n_max)
-    out["minima"] = [jnp.where(apply, new_min[r], minima[r]) for r in range(P + 1)]
+    out["minima"] = jnp.where(apply, new_min, minima)
     out["n_min"] = jnp.where(apply, cnt, n_min)
     out["valid"] = valid
     return out
@@ -296,21 +311,19 @@ def _janus_lanes(ext, P):
 
 def _phase_bounds_lanes(ext, N, P):
     """segment.phase_bounds (gc_hist.pyx:498-520 min_ctr walk) in lanes
-    layout: lists of [1,L] lefts/rights/mask rows."""
-    mn = ext["minima"]
-    mx = ext["maxima"]
-    s = mx[0] == 0
-    lefts, rights, mask = [], [], []
-    for p in range(P):
-        left_v = jnp.where(s, mn[0] if p == 0 else mn[p - 1], mn[p])
-        right_v = jnp.where(s, mn[p], mn[p + 1])
-        left = jnp.where(mx[p] > 0, left_v, np.int32(0))
-        right = jnp.where(mx[p] < N - 1, right_v, np.int32(N))
-        right = jnp.where(right == N - 1, np.int32(N), right)
-        lefts.append(left.astype(I32))
-        rights.append(right.astype(I32))
-        mask.append(p < ext["n_max"])
-    return lefts, rights, mask
+    layout: stacked [P, L] lefts/rights/mask."""
+    mn = ext["minima"]  # [P+1, L]
+    mx = ext["maxima"]  # [P, L]
+    L = mx.shape[-1]
+    s = mx[:1] == 0
+    riP = lax.broadcasted_iota(I32, (P, L), 0)
+    left_v = jnp.where(s, jnp.concatenate([mn[:1], mn[: P - 1]], axis=0), mn[:P])
+    right_v = jnp.where(s, mn[:P], mn[1 : P + 1])
+    left = jnp.where(mx > 0, left_v, np.int32(0))
+    right = jnp.where(mx < N - 1, right_v, np.int32(N))
+    right = jnp.where(right == N - 1, np.int32(N), right)
+    mask = riP < ext["n_max"]
+    return left.astype(I32), right.astype(I32), mask
 
 
 def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None):
@@ -330,7 +343,7 @@ def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, 
                  segmentation) inside every tree-sum level — measured as a
                  >10-minute "hang" on a 32-point block.  Unnecessary inside
                  Pallas (Mosaic materializes values in VMEM as written).
-    Returns dict of [1,L]-row lists / [1,L] scalars (see _pack_rows).
+    Returns dict of stacked [P,L] arrays / [1,L] scalars (see _pack_rows).
     """
     NPAD = lnpi_h.shape[0]
     L = ah.shape[-1]
@@ -362,7 +375,7 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
     elif collect is not None:
         raise NotImplementedError("lanes collect transforms: only 'janus'")
     real = rows < N
-    lefts, rights, mask = _phase_bounds_lanes(ext, N, P)
+    lefts, rights, mask = _phase_bounds_lanes(ext, N, P)  # [P, L]
 
     # per-phase max shifts; bins outside every phase fall back to the
     # global max (still <= 0 after the shift, contribute to no sum)
@@ -370,7 +383,7 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
     sh_h = jnp.broadcast_to(gh, (NPAD, L))
     sh_l = jnp.broadcast_to(gl, (NPAD, L))
     in_p = []
-    m_p = []
+    mx_rows_h, mx_rows_l = [], []
     for p in range(P):
         # real-row mask matters only for degenerate bounds (right == BIG
         # on invalid structures): without it the pad rows — duplicates of
@@ -378,14 +391,16 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
         # diverging from the XLA path's masked output on exactly the
         # points nobody checks (they are valid=False, but parity is
         # bitwise everywhere by contract)
-        ip = (rows >= lefts[p]) & (rows < rights[p]) & mask[p] & real
+        ip = (rows >= lefts[p : p + 1]) & (rows < rights[p : p + 1]) & mask[p : p + 1] & real
         mh, ml = _masked_pair_max(xh, xl, ip, neg_inf)
         sh_h = jnp.where(ip, mh, sh_h)
         sh_l = jnp.where(ip, ml, sh_l)
         in_p.append(ip)
-        m_p.append((mh, ml))
+        mx_rows_h.append(mh)
+        mx_rows_l.append(ml)
+    m_stk = (jnp.concatenate(mx_rows_h, axis=0), jnp.concatenate(mx_rows_l, axis=0))  # [P, L]
 
-    in_p, m_p, sh_h, sh_l = brk((in_p, m_p, sh_h, sh_l))
+    in_p, m_stk, sh_h, sh_l = brk((in_p, m_stk, sh_h, sh_l))
     th, tl = ds.ds_sub(xh, xl, sh_h, sh_l)
     eh, el = brk(ds.ds_exp_shifted(th, tl))
 
@@ -394,16 +409,18 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
     # phases overlap, and the shared per-bin shift above is only
     # consistent for a bin's last covering phase.  Exclude the bin from
     # the shared-e tree sums and add exp(x[N-1] - m_p) per phase exactly
-    # (a [1, L] ds_exp per phase — ~P/NPAD of one full exp).
+    # (one stacked [P, L] ds_exp — ~P/NPAD of one full exp).
     not_last = rows != np.int32(N - 1)
     xe_h, xe_l = xh[N - 1 : N], xl[N - 1 : N]
-    last_terms = []  # [P] of ([1,L],[1,L]) masked e-contribution of bin N-1
-    for p in range(P):
-        in_last = (lefts[p] <= np.int32(N - 1)) & (np.int32(N - 1) < rights[p]) & mask[p]
-        t0h, t0l = ds.ds_exp_shifted(*ds.ds_sub(xe_h, xe_l, m_p[p][0], m_p[p][1]))
-        last_terms.append((jnp.where(in_last, t0h, F32(0.0)), jnp.where(in_last, t0l, F32(0.0))))
+    in_last = (lefts <= np.int32(N - 1)) & (np.int32(N - 1) < rights) & mask  # [P, L]
+    t0h, t0l = ds.ds_exp_shifted(
+        *ds.ds_sub(xe_h + jnp.zeros_like(m_stk[0]), xe_l + jnp.zeros_like(m_stk[1]), m_stk[0], m_stk[1])
+    )
+    lt_h = jnp.where(in_last, t0h, F32(0.0))
+    lt_l = jnp.where(in_last, t0l, F32(0.0))
 
-    # prob * key rows once; per-phase masked pair tree sums
+    # prob * key rows once; per-phase masked pair tree sums, stacked to
+    # [P, L] per quantity (the last-bin correction applies stacked)
     pks = [(eh, el)]
     key_last = [(jnp.ones_like(xe_h), jnp.zeros_like(xe_l))]
     if props:
@@ -411,34 +428,33 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
             pks.append(ds.ds_mul(eh, el, kh + jnp.zeros_like(eh), kl + jnp.zeros_like(el)))
             key_last.append((kh[N - 1 : N] + jnp.zeros_like(xe_h), kl[N - 1 : N] + jnp.zeros_like(xe_l)))
     pks = brk(pks)
-    sums = []  # [P][K+1] of ([1,L],[1,L])
-    for p in range(P):
-        row = []
-        for q, (qh, ql) in enumerate(pks):
+    sums = []  # [K+1] of ([P,L],[P,L])
+    for q, (qh, ql) in enumerate(pks):
+        rs_h, rs_l = [], []
+        for p in range(P):
             sel = in_p[p] & not_last
             wh = jnp.where(sel, qh, F32(0.0))
             wl = jnp.where(sel, ql, F32(0.0))
             sh, sl = ds.ds_sum_pairs(wh, wl, axis=0)
-            term = ds.ds_mul(*last_terms[p], *key_last[q])
-            row.append(ds.ds_add(sh, sl, *term))
-        sums.append(row)
+            rs_h.append(sh)
+            rs_l.append(sl)
+        s_h = jnp.concatenate(rs_h, axis=0)
+        s_l = jnp.concatenate(rs_l, axis=0)
+        term = ds.ds_mul(lt_h, lt_l, key_last[q][0] + jnp.zeros_like(lt_h), key_last[q][1] + jnp.zeros_like(lt_l))
+        sums.append(ds.ds_add(s_h, s_l, *term))
     sums = brk(sums)
 
     # fe_p = x[0] - m_p - log(wsum_p)  == -logsumexp(lnpi[seg]-lnpi[0])
     # (gc_hist.pyx:523-526; the global normalization cancels)
     x0h, x0l = xh[:1], xl[:1]
-    fe, wpos = [], []
-    for p in range(P):
-        wh, wl = sums[p][0]
-        pos = wh > 0
-        lh, ll = ds.ds_log(jnp.where(pos, wh, F32(1.0)), jnp.where(pos, wl, F32(0.0)))
-        fh, fl = ds.ds_sub(x0h, x0l, m_p[p][0], m_p[p][1])
-        fh, fl = ds.ds_sub(fh, fl, lh, ll)
-        fh = jnp.where(mask[p] & pos, fh, jnp.where(mask[p], F32(jnp.inf), F32(0.0)))
-        fl = jnp.where(mask[p] & pos, fl, F32(0.0))
-        fe.append((fh, fl))
-        wpos.append(pos)
-    fe, wpos = brk((fe, wpos))
+    wh, wl = sums[0]
+    wpos = wh > 0
+    lh, ll = ds.ds_log(jnp.where(wpos, wh, F32(1.0)), jnp.where(wpos, wl, F32(0.0)))
+    fh, fl = ds.ds_sub(x0h + jnp.zeros_like(wh), x0l + jnp.zeros_like(wl), m_stk[0], m_stk[1])
+    fh, fl = ds.ds_sub(fh, fl, lh, ll)
+    fh = jnp.where(mask & wpos, fh, jnp.where(mask, F32(jnp.inf), F32(0.0)))
+    fl = jnp.where(mask & wpos, fl, F32(0.0))
+    fe, wpos = brk(((fh, fl), wpos))
 
     out = {
         "fe": fe,
@@ -449,33 +465,28 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
         "valid": ext["valid"],
         # per-phase pair maxima: iso cells read the last phase's maximum
         # for the is_safe tail check (not packed by the sweep outputs)
-        "phase_max": m_p,
+        "phase_max": m_stk,
     }
     if props:
         S = len(keys) - 1
         vh, vl = vol_pair
-        n_i, x_i = [], []
-        ntot, u, density = [], [], []
-        for p in range(P):
-            wh, wl = sums[p][0]
-            gwh = jnp.where(wpos[p], wh, F32(1.0))
-            gwl = jnp.where(wpos[p], wl, F32(0.0))
-            ni_p = [ds.ds_div(*sums[p][1 + i], gwh, gwl) for i in range(S)]
-            up = ds.ds_div(*sums[p][1 + S], gwh, gwl)
-            nth, ntl = ni_p[0]
-            for i in range(1, S):
-                nth, ntl = ds.ds_add(nth, ntl, *ni_p[i])
-            nz = nth != 0
-            gnh = jnp.where(nz, nth, F32(1.0))
-            gnl = jnp.where(nz, ntl, F32(0.0))
-            xi_p = [ds.ds_div(*ni_p[i], gnh, gnl) for i in range(S)]
-            dp = ds.ds_div(nth, ntl, vh + jnp.zeros_like(nth), vl + jnp.zeros_like(ntl))
-            n_i.append(ni_p)
-            x_i.append(xi_p)
-            ntot.append((nth, ntl))
-            u.append(up)
-            density.append(dp)
-        out.update({"n_i": n_i, "x_i": x_i, "ntot": ntot, "u": u, "density": density})
+        gwh = jnp.where(wpos, wh, F32(1.0))
+        gwl = jnp.where(wpos, wl, F32(0.0))
+        n_i = [ds.ds_div(*sums[1 + i], gwh, gwl) for i in range(S)]
+        u = ds.ds_div(*sums[1 + S], gwh, gwl)
+        nth, ntl = n_i[0]
+        for i in range(1, S):
+            nth, ntl = ds.ds_add(nth, ntl, *n_i[i])
+        nz = nth != 0
+        gnh = jnp.where(nz, nth, F32(1.0))
+        gnl = jnp.where(nz, ntl, F32(0.0))
+        x_i = [ds.ds_div(*n_i[i], gnh, gnl) for i in range(S)]
+        # volume is a [1,1] scalar pair: broadcast lanes first, then
+        # sublanes — Mosaic cannot do both in one vector.broadcast
+        vrh = (vh + jnp.zeros((1, L), vh.dtype)) + jnp.zeros_like(nth)
+        vrl = (vl + jnp.zeros((1, L), vl.dtype)) + jnp.zeros_like(ntl)
+        density = ds.ds_div(nth, ntl, vrh, vrl)
+        out.update({"n_i": n_i, "x_i": x_i, "ntot": (nth, ntl), "u": u, "density": density})
     return out
 
 
@@ -491,20 +502,19 @@ def _f_quantities(S, props):
 
 
 def _pack_rows(out, P, S, props):
-    """Flatten the sweep output dict to (f32 [NRF, L], i32 [NRI, L])."""
+    """Flatten the sweep output dict to (f32 [NRF, L], i32 [NRI, L]).
+    Every per-phase quantity is a stacked ([P, L], [P, L]) pair; the row
+    layout (P hi rows then P lo rows per quantity) matches _unpack."""
     frows = []
     for q in _f_quantities(S, props):
-        if q == "fe":
-            pairs = out["fe"]
-        elif q.startswith("n_i"):
-            pairs = [out["n_i"][p][int(q[3:])] for p in range(P)]
+        if q.startswith("n_i"):
+            h, l = out["n_i"][int(q[3:])]
         elif q.startswith("x_i"):
-            pairs = [out["x_i"][p][int(q[3:])] for p in range(P)]
+            h, l = out["x_i"][int(q[3:])]
         else:
-            pairs = out[q]
-        frows += [h for h, _ in pairs] + [l for _, l in pairs]
-    irows = out["left"] + out["right"] + [m.astype(I32) for m in out["mask"]]
-    irows += [out["n_phases"], out["valid"].astype(I32)]
+            h, l = out[q]
+        frows += [h, l]
+    irows = [out["left"], out["right"], out["mask"].astype(I32), out["n_phases"], out["valid"].astype(I32)]
     return jnp.concatenate(frows, axis=0), jnp.concatenate(irows, axis=0)
 
 
@@ -647,11 +657,16 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
 
 
 def default_block(n_bins: int) -> int:
-    """Lane-block size keeping the [NPAD, block] working set ~2 MB so a
-    few dozen live f32 arrays fit VMEM at any N (fixture N=31 -> 2048)."""
+    """Lane-block size: 256 lanes unless the [NPAD, block] working set
+    would exceed ~0.5 MB (then 128).  Measured same-run on v5e at B=2M
+    (2026-08-17): 256 runs FASTEST (28.2M pts/s vs 26.7M at 512, 22.4M at
+    the old 2048 default) AND Mosaic-compiles 40-60% faster (~10 s vs
+    17-30 s live-tunnel; block 4096 VMEM-OOMs outright) — smaller blocks
+    mean fewer vregs per op for the same total work, and the per-block
+    fixed cost is negligible."""
     npad = _npad(n_bins)
     b = 128
-    while b < 2048 and npad * b * 2 <= (1 << 19):
+    while b < 256 and npad * b * 2 <= (1 << 19):
         b *= 2
     return b
 
