@@ -657,18 +657,17 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
 
 
 def default_block(n_bins: int) -> int:
-    """Lane-block size: 256 lanes unless the [NPAD, block] working set
-    would exceed ~0.5 MB (then 128).  Measured same-run on v5e at B=2M
-    (2026-08-17): 256 runs FASTEST (28.2M pts/s vs 26.7M at 512, 22.4M at
-    the old 2048 default) AND Mosaic-compiles 40-60% faster (~10 s vs
-    17-30 s live-tunnel; block 4096 VMEM-OOMs outright) — smaller blocks
-    mean fewer vregs per op for the same total work, and the per-block
-    fixed cost is negligible."""
+    """Lane-block size: 256 lanes, dropping to 128 once the [NPAD, block]
+    working set passes ~0.5 MB (the kernels keep ~18-20 such arrays live;
+    v5e scoped VMEM is 16 MB — the N=573/NPAD=1024 production composite
+    measured 18.66 MB at block 256 and compiles at 128).  Measured
+    same-run on v5e at B=2M, N=31 (2026-08-17): 256 runs FASTEST (28.2M
+    pts/s vs 26.7M at 512, 22.4M at the old 2048 default) AND
+    Mosaic-compiles 40-60% faster (~10 s vs 17-30 s live-tunnel; 4096
+    VMEM-OOMs outright) — smaller blocks mean fewer vregs per op for the
+    same total work, and the per-block fixed cost is negligible."""
     npad = _npad(n_bins)
-    b = 128
-    while b < 256 and npad * b * 2 <= (1 << 19):
-        b *= 2
-    return b
+    return max(128, min(256, (1 << 17) // npad))
 
 
 def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int | None = None, mode: str | None = None, collect=None):

@@ -31,16 +31,21 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None, seg_f
     Normalization never happens: F.E. and the per-phase moment averages
     are invariant under lnpi -> lnpi + c (segmentation compares values,
     fe/props are ratios), so segmentation runs on the raw reweighted
-    surface and integration on e = exp(x - max) with shift = max — no
-    normalization log, no [N]-wide e/s division (f64 division is emulated
-    op-by-op on TPU), one exp total.
+    surface and integration uses PER-PHASE max-shifted weights computed
+    inside segment._phase_weights — no normalization log, no [N]-wide
+    e/s division (f64 division is emulated op-by-op on TPU), one [N] exp
+    total.  (The e/m computed here feed the legacy prob/shift arguments,
+    which the cores no longer consume — XLA elides them; kept so the
+    call shape stays stable.)
 
-    The max-shift in the exp is mandatory, not just precision hygiene:
-    TPU-emulated f64 keeps only the f32 EXPONENT range (exp(+-100) reads
-    inf/0 on device, measured 2026-08-16), so any scheme whose
-    intermediates span the raw lnPI range — e.g. factorizing exp(c*op)
-    through hoisted exp(lnpi - lnpi[ref]) powers — silently corrupts
-    probabilities for real lnPI ranges.  exp(x - max) <= 1 always.
+    Per-phase (not global) shifts are mandatory, not just precision
+    hygiene: TPU-emulated f64 keeps only the f32 EXPONENT range
+    (exp(+-100) reads inf/0 on device, measured 2026-08-16), so a phase
+    sitting more than ~88 log units below the dominant one underflows to
+    fe=inf/props=0 under a single global shift — measured on the N=573
+    production composite, while the reference's spec_exp (gc_hist.pyx:
+    35-53) and the Pallas kernel keep it finite.  exp(x - m_p) <= 1
+    always.
     """
     x = h.lnpi + (mu1 - h.curr_mu[..., 0]) * h.curr_beta * h.op
     m = jnp.max(x, axis=-1, keepdims=True)
@@ -70,6 +75,31 @@ def mu_sweep_body(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=
 @partial(jax.jit, static_argnames=("meta", "props", "collect", "seg_f32"))
 def _mu_sweep_thermo_xla(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collect=None, seg_f32: bool = False):
     return mu_sweep_body(h, meta, mu_grid, props, collect, seg_f32)
+
+
+# Chunk XLA-engine launches once the [B, N] f64 intermediates would
+# pressure HBM: the graph keeps ~10-15 such buffers live, and N=573 at
+# B=262k (150M elements) measured a 25.4 GB compile-time OOM on the
+# 16 GB chip while N=31 at B=2M (65M) runs comfortably.  Above the
+# trigger, launches use power-of-two chunks sized to ~40M elements
+# (uniform shapes -> at most two compiled specializations incl. the tail).
+_XLA_CHUNK_TRIGGER = 96_000_000
+_XLA_CHUNK_TARGET = 40_000_000
+
+
+def _xla_sweep_maybe_chunked(h: Hist, meta: HistMeta, mu_grid, props, collect, seg_f32):
+    B = int(mu_grid.shape[0])
+    N = int(h.lnpi.shape[-1])
+    if B * N <= _XLA_CHUNK_TRIGGER:
+        return _mu_sweep_thermo_xla(h, meta, mu_grid, props, collect, seg_f32)
+    per = 4096
+    while per * 2 * N <= _XLA_CHUNK_TARGET:
+        per *= 2
+    outs = [
+        _mu_sweep_thermo_xla(h, meta, mu_grid[i : i + per], props, collect, seg_f32)
+        for i in range(0, B, per)
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
 _PALLAS_OK: dict = {}  # per-process memo: does the Mosaic kernel compile here?
@@ -124,7 +154,7 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
             if engine == "pallas":
                 raise
             _pallas_failed("sweep", e)
-    return _mu_sweep_thermo_xla(h, meta, mu_grid, props, collect, seg_f32)
+    return _xla_sweep_maybe_chunked(h, meta, mu_grid, props, collect, seg_f32)
 
 
 def mu_beta_sweep_body(

@@ -384,31 +384,68 @@ def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None, seg_f32:
 
 
 def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, collect=None, seg_f32: bool = False):
-    """Shared segmentation + probability integration.
+    """Shared segmentation + probability integration, PER-PHASE shifted.
 
-    Returns (lefts, rights, mask, n_phases, valid, w, wsum, fe) where
-    w is the [P,N] per-phase masked probability and fe the per-phase
-    F.E./kT relative to the first bin (gc_hist.pyx:523-526).
+    Returns (lefts, rights, mask, n_phases, valid, parts, wsum, fe) where
+    parts = (e [N], e_last [P], in_last [P], not_last [N], m_pf [P]) are
+    the per-phase-shifted weight pieces the moment contractions reuse,
+    and fe the per-phase F.E./kT relative to the first bin
+    (gc_hist.pyx:523-526).
 
-    shift: F.E. and all moment averages are invariant under lnpi -> lnpi+c
-    with prob scaled by e^c, so sweep pipelines may pass the UNNORMALIZED
-    surface plus its raw exp(x - max) weights and shift = max — skipping
-    the normalization log and the [N]-wide e/s division entirely (f64
-    division is emulated op-by-op on TPU).  fe then reads
-    lnpi[0] - shift - log(sum_seg w).
+    Weights are exp(lnpi - m_p) with m_p each phase's OWN maximum — the
+    reference's per-phase shifted logsumexp (spec_exp, gc_hist.pyx:35-53)
+    and the Pallas kernel's scheme.  A single global shift (the previous
+    form here) silently zeroes phases far below the dominant one: on
+    TPU-emulated f64 the underflow horizon is only ~88 log units (f32
+    exponent range), and the N=573 production composite measured
+    fe=inf/props=0 for the subdominant phase while the numpy class path
+    and the kernel agree on the finite answer.  One [N] exp still
+    suffices: each bin takes its covering phase's shift (phases overlap
+    only at bin N-1 via the right==N-1 -> N endpoint rule, and that bin's
+    contribution is added per phase exactly from a [P]-sized exp).
+
+    prob/shift args are retained for API compatibility but no longer
+    consumed (callers' global-shift exp is dead code XLA elides).
     """
+    del prob, shift
+    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
+    in_range, e, e_last, in_last, not_last, m_pf, wsum = _phase_weights(lnpi, lefts, rights, mask)
+
+    fe = lnpi[..., 0] - m_pf - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
+    fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
+    return lefts, rights, mask, n_phases, valid, (e, e_last, in_last, not_last, m_pf), wsum, fe
+
+
+def _phase_weights(lnpi, lefts, rights, mask):
+    """Per-phase-shifted probability weight pieces for one [N] surface.
+
+    Returns (in_range [P,N], e [N], e_last [P], in_last [P],
+    not_last [N], m_pf [P], wsum [P]): each bin's weight is
+    exp(lnpi - m_p) under its covering phase's own maximum, with the
+    shared bin N-1 (the right==N-1 -> N endpoint rule is the only way
+    adjacent phases overlap) excluded from e and added per phase exactly
+    from a [P]-sized exp."""
     N = lnpi.shape[-1]
     idx = jnp.arange(N, dtype=jnp.int32)
-    lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
-
     in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
 
-    w = jnp.where(in_range, prob[None, :], 0.0)  # [P,N]
-    wsum = jnp.sum(w, axis=-1)  # [P]
+    neg = jnp.array(-jnp.inf, lnpi.dtype)
+    m_p = jnp.max(jnp.where(in_range, lnpi[None, :], neg), axis=-1)  # [P]
+    m_pf = jnp.where(jnp.isfinite(m_p), m_p, 0.0)
+    # per-bin shift: the covering phase's max; uncovered bins fall back to
+    # the global max (exp <= 1 always, they contribute to no sum)
+    covered = jnp.sum(in_range.astype(jnp.int32), axis=0) > 0
+    sh = jnp.where(covered, jnp.max(jnp.where(in_range, m_pf[:, None], neg), axis=0), jnp.max(lnpi, axis=-1))
+    e = jnp.exp(lnpi - sh)  # [N]
 
-    fe = lnpi[..., 0] - shift - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
-    fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
-    return lefts, rights, mask, n_phases, valid, w, wsum, fe
+    last = N - 1
+    not_last = idx != last
+    in_last = (lefts <= last) & (last < rights) & mask  # [P]
+    e_last = jnp.where(in_last, jnp.exp(lnpi[..., last] - m_pf), 0.0)  # [P]
+
+    w = jnp.where(in_range & not_last[None, :], e[None, :], 0.0)  # [P,N]
+    wsum = jnp.sum(w, axis=-1) + e_last  # [P]
+    return in_range, e, e_last, in_last, not_last, m_pf, wsum
 
 
 def thermo_core(
@@ -432,7 +469,8 @@ def thermo_core(
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
-    lefts, rights, mask, n_phases, valid, w, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift, collect, seg_f32)
+    lefts, rights, mask, n_phases, valid, parts, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift, collect, seg_f32)
+    e, e_last, in_last, not_last, m_pf = parts
 
     if props:
         mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
@@ -445,11 +483,15 @@ def thermo_core(
             mom_rows = mom2d
         # broadcast-multiply-reduce: XLA's f64 dot lowering is ~4x slower
         # than the fused VPU mul+reduce on TPU, so spell it out; multiply
-        # prob*rows once and reduce under the mask (adds only per phase)
+        # e*rows once and reduce under the mask (adds only per phase);
+        # bin N-1 enters per phase with that phase's own shift (see
+        # _segment_integrate)
         idx2 = jnp.arange(N, dtype=jnp.int32)
         in_range = (idx2[None, :] >= lefts[:, None]) & (idx2[None, :] < rights[:, None]) & mask[:, None]
-        pr = prob[None, :] * mom_rows  # [U,N]
-        pm_u = jnp.sum(jnp.where(in_range[:, None, :], pr[None, :, :], 0.0), axis=-1)  # [P,U]
+        pr = e[None, :] * mom_rows  # [U,N]
+        sel = in_range & not_last[None, :]
+        pm_u = jnp.sum(jnp.where(sel[:, None, :], pr[None, :, :], 0.0), axis=-1)  # [P,U]
+        pm_u = pm_u + e_last[:, None] * mom_rows[:, N - 1][None, :]
         if dedupe_mom:
             pm = pm_u[:, jnp.array(inverse)]  # [P,A]
         else:
@@ -523,25 +565,28 @@ def thermo_key_core(
     bounds: optional precomputed (lefts, rights, mask, n_phases, valid)
     from _segment_bounds/phase_bounds — callers that also need the raw
     extrema (e.g. for is_safe) segment once and share."""
+    del prob, shift
     P = meta.max_phases
     N = lnpi.shape[-1]
     S = meta.nspec
-    idx = jnp.arange(N, dtype=jnp.int32)
     if bounds is None:
         bounds = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
     lefts, rights, mask, n_phases, valid = bounds
-    in_range = (idx[None, :] >= lefts[:, None]) & (idx[None, :] < rights[:, None]) & mask[:, None]  # [P,N]
+    in_range, e, e_last, in_last, not_last, m_pf, _ = _phase_weights(lnpi, lefts, rights, mask)
 
     # a leading ones row folds the wsum reduction into the same pass;
-    # multiply prob*key ONCE ([K,N]) and reduce under the mask with adds
+    # multiply e*key ONCE ([K,N]) and reduce under the mask with adds
     # only — the per-phase multiply ([P,K,N]) costs P times more emulated
-    # f64 products for bit-identical sums
+    # f64 products for bit-identical sums; bin N-1 enters per phase with
+    # that phase's own shift (see _phase_weights)
     key1 = jnp.concatenate([jnp.ones((1, N), lnpi.dtype), key])  # [S+2,N]
-    pk = prob[None, :] * key1  # [S+2,N]
-    pm0 = jnp.sum(jnp.where(in_range[:, None, :], pk[None, :, :], 0.0), axis=-1)  # [P,S+2]
+    pk = e[None, :] * key1  # [S+2,N]
+    sel = in_range & not_last[None, :]
+    pm0 = jnp.sum(jnp.where(sel[:, None, :], pk[None, :, :], 0.0), axis=-1)  # [P,S+2]
+    pm0 = pm0 + e_last[:, None] * key1[:, N - 1][None, :]
     wsum = pm0[:, 0]
 
-    fe = lnpi[..., 0] - shift - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
+    fe = lnpi[..., 0] - m_pf - jnp.log(jnp.where(wsum > 0, wsum, 1.0))
     fe = jnp.where(mask & (wsum > 0), fe, jnp.where(mask, jnp.inf, 0.0))
 
     pm = pm0[:, 1:] / jnp.where(wsum > 0, wsum, 1.0)[:, None]

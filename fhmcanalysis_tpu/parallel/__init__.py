@@ -5,6 +5,7 @@ from .mesh import (
     shard_map_mu_sweep,
     sharded_make_grid,
     sharded_mu_beta_sweep,
+    sharded_pore_state_sweep,
     sharded_trace_coexistence,
 )
 from .surface import (
@@ -21,6 +22,7 @@ __all__ = [
     "shard_map_mu_sweep",
     "sharded_make_grid",
     "sharded_mu_beta_sweep",
+    "sharded_pore_state_sweep",
     "sharded_trace_coexistence",
     "sharded_normalize_2d",
     "sharded_normalize_long",

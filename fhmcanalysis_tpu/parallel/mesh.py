@@ -31,6 +31,7 @@ __all__ = [
     "grid_mesh",
     "sharded_mu_beta_sweep",
     "sharded_make_grid",
+    "sharded_pore_state_sweep",
     "shard_map_mu_sweep",
     "sharded_trace_coexistence",
     "replicate",
@@ -153,6 +154,21 @@ def sharded_make_grid(mesh: Mesh, iso, mu1_bounds, dmu2_bounds, delta, m=2.5, mu
     trimmed on return.
     """
     return iso.make_grid(mu1_bounds, dmu2_bounds, delta, m=m, mu1_chunk=mu1_chunk, mesh=mesh)
+
+
+def sharded_pore_state_sweep(mesh: Mesh, joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10):
+    """Slit-pore (p, beta) state sweep sharded over the mesh: both device
+    stages of two_dim.pore_pipeline.pore_state_sweep (surface build +
+    normalize, fused per-phase analysis) run with the state axis S split
+    across every mesh device (flattened axes); the host watershed stage is
+    unchanged.  States are embarrassingly parallel, so outputs are
+    identical to the single-device sweep; S is padded to the device count
+    and trimmed on return.  The 2-D pore analog of sharded_make_grid
+    (reference workload: pore_hist.pyx:82-375 analyzed one state at a
+    time, organize.pyx:23-192 swept states serially)."""
+    from ..two_dim.pore_pipeline import pore_state_sweep
+
+    return pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh)
 
 
 def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool = True):

@@ -65,7 +65,7 @@ def _footprint(len_H: int, len_N: int, nnebr: int):
     return np.ones((fp_x, fp_y))
 
 
-def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10):
+def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10, mesh=None):
     """Phase analysis of lnPI(h, N_tot) over S pore state points.
 
     Parameters
@@ -76,6 +76,12 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     beta_vals  : f64[S] inverse temperatures (paired with p_vals)
     A          : cross-sectional area
     nnebr, max_peaks : segmentation knobs (pore_hist.phase_average)
+    mesh       : optional jax.sharding.Mesh — shards the state axis S over
+                 every mesh device for both device stages (states are
+                 embarrassingly parallel; the surface inputs replicate, S
+                 is padded to the device count and trimmed on return).
+                 The host watershed stage is unchanged (it already gathers
+                 stage-1 surfaces for the data-dependent flood).
 
     Returns a dict of slot-padded host arrays (P = max_peaks + 1 slots):
       prop_names   list[K]
@@ -102,6 +108,30 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     assert p_vals.shape == beta_vals.shape and p_vals.ndim == 1, "p_vals/beta_vals must be matching 1-D state lists"
     S = len(p_vals)
 
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad = (-S) % n_dev
+        if pad:
+            # repeat the last state: identical per-state math, trimmed below
+            p_vals = np.concatenate([p_vals, np.repeat(p_vals[-1:], pad)])
+            beta_vals = np.concatenate([beta_vals, np.repeat(beta_vals[-1:], pad)])
+
+    def _shard_states(*arrays):
+        """Place state-batched arrays sharded over the flattened mesh."""
+        if mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as Psp
+
+        import jax
+        import jax.numpy as jnp
+
+        out = []
+        for a in arrays:
+            spec = Psp(mesh.axis_names, *([None] * (np.ndim(a) - 1)))
+            out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec)))
+        return tuple(out)
+
     lnpi_raw = np.asarray(hd["ln(PI)"], dtype=np.float64)
     H, N = lnpi_raw.shape
     h_vals = np.asarray(hd["op_1"], dtype=np.float64)
@@ -110,19 +140,21 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     prop_names = list(hd["props"])
     props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
 
-    # stage 1: all S surfaces in one launch
-    lnpi_b, x_b = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_vals, float(A), beta_vals, valid)
+    # stage 1: all S surfaces in one launch (sharded over S with a mesh)
+    p_dev, beta_dev = _shard_states(p_vals, beta_vals)
+    lnpi_b, x_b = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid)
     lnpi_b = np.asarray(lnpi_b)
     x_b = np.asarray(x_b)
 
     # host: data-dependent segmentation per state (native flood)
+    SP = len(p_vals)  # S plus any mesh padding
     P = max_peaks + 1  # background slot convention of pore_hist.phase_average
     fp = _footprint(H, N, nnebr)
-    labels_b = np.zeros((S, H, N), dtype=np.int32)
-    n_labels = np.zeros(S, dtype=np.int64)
-    peak_lnpi = np.zeros((S, P), dtype=np.float64)
+    labels_b = np.zeros((SP, H, N), dtype=np.int32)
+    n_labels = np.zeros(SP, dtype=np.int64)
+    peak_lnpi = np.zeros((SP, P), dtype=np.float64)
     local_maxima = []
-    for s in range(S):
+    for s in range(SP):
         lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P, footprint=fp)
         local_maxima.append(lm)
         n_max = len(lm)
@@ -135,14 +167,15 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
             peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
 
     # stage 2: fused per-phase analysis of all S states in one launch
-    core = _jits()["phase"](lnpi_b, labels_b, valid, edge_idx, props, peak_lnpi, n_labels, max_phases=P)
-    out = {k: np.asarray(v) for k, v in core.items()}
+    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_b, labels_b, peak_lnpi, n_labels)
+    core = _jits()["phase"](lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev, max_phases=P)
+    out = {k: np.asarray(v)[:S] for k, v in core.items()}
 
     ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)
     out["ridge_ok"] = np.all(ridge >= _PORE_CUTOFF, axis=1)
     out["prop_names"] = prop_names
-    out["n_phases"] = n_labels
-    out["lnpi"] = lnpi_b
-    out["labels"] = labels_b
-    out["local_maxima"] = local_maxima
+    out["n_phases"] = n_labels[:S]
+    out["lnpi"] = lnpi_b[:S]
+    out["labels"] = labels_b[:S]
+    out["local_maxima"] = local_maxima[:S]
     return out

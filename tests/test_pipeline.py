@@ -340,3 +340,40 @@ class TestSegF32:
             b = P.mu_sweep_thermo(h2, meta, mus, props=False, seg_f32=True)
             for k in ("valid", "mask", "left", "right"):
                 np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestDeepSubdominantPhase:
+    def test_xla_engine_keeps_deep_phases_finite(self, hist):
+        """A phase >750 log units below the dominant one must keep a
+        finite F.E. and true props through the XLA engine (regression:
+        the previous single-global-shift integration underflowed it to
+        fe=inf/props=0 in native f64 — and already at ~88 log units on
+        TPU-emulated f64 — while the reference's per-phase spec_exp
+        logsumexp, the numpy class path, and the Pallas kernel all keep
+        the exact finite answer; bitten by the N=573 production
+        composite, bench n573 gate 2026-08-17)."""
+        hh, meta = hist._hist(), hist._meta(max_phases=4)
+        n = hh.lnpi.shape[-1]
+        x = np.arange(n, dtype=float)
+        # two sharp peaks, the second 800 log units below the first
+        y = np.where(x < n // 2, 10.0 - 4.0 * np.abs(x - 7.0), -800.0 + 10.0 - 4.0 * np.abs(x - 23.0))
+        h2 = hh.replace(lnpi=jnp.asarray(y))
+        out = P.mu_sweep_thermo(h2, meta, np.array([hh.curr_mu[0]]), props=True, engine="xla")
+        msk = np.asarray(out["mask"][0])
+        assert msk.sum() == 2
+        fe = np.asarray(out["fe"][0])[msk]
+        assert np.isfinite(fe).all(), fe
+        # class-path oracle (numpy, per-phase shifted)
+        hist.data["ln(PI)"] = y.copy()
+        hist.thermo()
+        fe_ref = np.array([hist.data["thermo"][p]["F.E./kT"] for p in range(2)])
+        nt_ref = np.array([hist.data["thermo"][p]["ntot"] for p in range(2)])
+        np.testing.assert_allclose(fe, fe_ref, rtol=0, atol=1e-10)
+        # props: the class path (like the reference, gc_hist.pyx:534-541)
+        # averages with globally-normalized probabilities, so the deep
+        # phase's props are 0/0 = nan there; the engine's per-phase
+        # weights give the exact answer (peak centered on bin 23)
+        nt = np.asarray(out["ntot"][0])[msk]
+        np.testing.assert_allclose(nt[0], nt_ref[0], rtol=0, atol=1e-10)
+        assert np.isnan(nt_ref[1])
+        np.testing.assert_allclose(nt[1], 23.0, rtol=0, atol=1e-9)

@@ -91,3 +91,26 @@ class TestPoreStateSweep:
         fh = free_energy_profile.polynomial([0.0])
         with pytest.raises(AssertionError):
             pore_state_sweep(jh, fh.free_energy, np.zeros(3), np.zeros(2), A=1.0)
+
+
+class TestShardedPoreSweep:
+    def test_sharded_matches_single_device(self):
+        """mesh= shards both device stages over the virtual 8-CPU mesh;
+        states are independent so outputs must match the single-device
+        sweep bitwise (S=5 also exercises the pad-to-device-count path)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from fhmcanalysis_tpu.parallel import grid_mesh, sharded_pore_state_sweep
+
+        jh = _two_hill_joint()
+        fh = free_energy_profile.polynomial([0.1, 0.0])
+        p_vals = np.array([0.0, 0.05, 0.1, 0.0, 0.02])
+        beta_vals = np.array([1.0, 1.0, 1.0, 0.9, 1.1])
+        want = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0, nnebr=1, max_peaks=4)
+        got = sharded_pore_state_sweep(grid_mesh(8), jh, fh.free_energy, p_vals, beta_vals, A=1.0, nnebr=1, max_peaks=4)
+        for k in ("ave", "fe", "act_kT", "act_kT_diff", "ridge_diff", "ts"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+        for k in ("n_phases", "phase_ok", "ridge_ok", "labels", "lnpi"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)

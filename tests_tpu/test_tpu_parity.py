@@ -149,3 +149,34 @@ def test_iso_cell_kernel_matches_xla_on_chip(test_nc):
     for k in ("Z", "density", "F.E./kT"):
         d = np.max(np.abs(np.where(ok, a.data[k] - b.data[k], 0.0)))
         assert d < BAR, (k, d)
+
+
+def test_n1_sweep_engines_on_chip(tmp_path):
+    """N_1 histograms through BOTH device engines on the real chip
+    (VERDICT r1 item 6's on-chip half; the CPU suite proves 1e-12 in
+    tests/test_n1_device_engines.py).  The engines dispatch on the Hist
+    pytree and reweight by h.op — the N_1 rule when op = N_1
+    (n1/gc_hist.pyx:70-78) — so kernel and XLA must agree at the 1e-8
+    bar with exact segmentation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from test_gc_n1 import BETA_REF, MU_REF, make_n1_fixture
+
+    import fhmcanalysis_tpu.histogram.n1 as n1H
+    from fhmcanalysis_tpu.core import pipeline as P
+
+    p = tmp_path / "n1_composite.nc"
+    make_n1_fixture(p)
+    h = n1H.histogram(str(p), BETA_REF, MU_REF, 1)
+    hh, meta = h._hist(), h._meta(max_phases=4)
+    mus = np.linspace(0.4, 2.0, 512)
+    got = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="pallas")
+    want = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="xla")
+    for k in ("valid", "mask", "n_phases", "left", "right"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+    msk = np.asarray(want["mask"])
+    for k in ("fe", "ntot", "u", "density"):
+        d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+        assert d < BAR, (k, d)
