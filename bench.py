@@ -111,7 +111,7 @@ def _emit(metric, value, unit, vs):
     sys.stdout.flush()
 
 
-def _watchdog(seconds=760):
+def _watchdog(seconds=1000):
     """Fail fast with a JSON line instead of hanging forever when the TPU
     tunnel is unresponsive (it flaps, and fresh Mosaic compiles have been
     measured anywhere from 176 s to 685 s depending on tunnel weather).
