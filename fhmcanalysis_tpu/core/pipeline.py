@@ -220,6 +220,27 @@ def _mu_beta_sweep_thermo_xla(
     return mu_beta_sweep_body(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
 
 
+def _xla_mb_maybe_chunked(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect):
+    """Chunk the (mu x target) product over the mu axis when [M*A, N]
+    f64 intermediates would pressure HBM — same guard as the plain sweep
+    (_xla_sweep_maybe_chunked); the kernel engine needs none."""
+    mu_grid = jnp.asarray(mu_grid)
+    beta_grid = jnp.atleast_1d(jnp.asarray(beta_grid))
+    M = int(mu_grid.shape[0])
+    A = int(beta_grid.shape[0])
+    N = int(h.lnpi.shape[-1])
+    if M * A * N <= _XLA_CHUNK_TRIGGER:
+        return _mu_beta_sweep_thermo_xla(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
+    per = 4096
+    while per * 2 * A * N <= _XLA_CHUNK_TARGET:
+        per *= 2
+    outs = [
+        _mu_beta_sweep_thermo_xla(h, meta, mu_grid[i : i + per], beta_grid, dmu_grid, order, props, first_order_mom, collect)
+        for i in range(0, M, per)
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
 def mu_beta_sweep_thermo(
     h: Hist,
     meta: HistMeta,
@@ -271,7 +292,7 @@ def mu_beta_sweep_thermo(
             if engine == "pallas":
                 raise
             _pallas_failed("mb", e)
-    return _mu_beta_sweep_thermo_xla(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
+    return _xla_mb_maybe_chunked(h, meta, mu_grid, beta_grid, dmu_grid, order, props, first_order_mom, collect)
 
 
 def most_stable_phase(fe, mask):

@@ -54,12 +54,15 @@ base = timeit("baseline")
 
 
 def cheap_relex(xh, xl, rows, N, smooth, P):
-    # stand-ins must be REAL-layout arrays: Mosaic SIGABRTs on offset
-    # slices of splat constants/iotas (same apply-vector-layout bug as
-    # PERFORMANCE.md gotcha 8) and downstream phase_bounds slices these
+    # stand-ins must be REAL-layout, non-constant-foldable arrays: Mosaic
+    # SIGABRTs on offset slices of splat constants/iotas (the
+    # apply-vector-layout bug of PERFORMANCE.md gotcha 8), downstream
+    # phase_bounds/thermo_lanes slice these rows, and x*0 folds back to a
+    # splat — a scaled f32->i32 truncation (always 0 at these magnitudes)
+    # survives as a real data-dependent array
     gmax = orig["pmax"](xh, xl, rows < N, F32(-jnp.inf))
-    zP = (xh[:P] * F32(0.0)).astype(I32)  # real-layout [P,L] zeros
-    zP1 = (xh[: P + 1] * F32(0.0)).astype(I32)
+    zP = (xh[:P] * F32(1e-30)).astype(I32)  # == 0, real layout
+    zP1 = (xh[: P + 1] * F32(1e-30)).astype(I32)
     riP = lax.broadcasted_iota(I32, zP.shape, 0)
     riP1 = lax.broadcasted_iota(I32, zP1.shape, 0)
     mx = zP + jnp.where(riP == 0, np.int32(7), jnp.where(riP == 1, np.int32(23), PS.BIG))
@@ -74,44 +77,37 @@ def cheap_relex(xh, xl, rows, N, smooth, P):
     }
 
 
-PS._relextrema_lanes = cheap_relex
-t = timeit("no relextrema")
-PS._relextrema_lanes = orig["relex"]
-rel_ms = (base - t) * 1e3
-
-ds.ds_exp_shifted = lambda xh, xl: (jnp.where(xh < 0, F32(1.0) + xh * F32(1e-4), F32(1.0)), xl * F32(0.0))
-t = timeit("no ds_exp")
-ds.ds_exp_shifted = orig["exp"]
-exp_ms = (base - t) * 1e3
-
-
 def cheap_sums(xh, xl, axis=0):
     return lax.slice_in_dim(xh, 0, 1, axis=axis), lax.slice_in_dim(xl, 0, 1, axis=axis)
 
 
-ds.ds_sum_pairs = cheap_sums
-t = timeit("no tree sums")
-ds.ds_sum_pairs = orig["sums"]
-sums_ms = (base - t) * 1e3
-
-PS._masked_pair_max = lambda xh, xl, m, neg: (xh[:1], xl[:1])
-t = timeit("no per-phase pair max")
-PS._masked_pair_max = orig["pmax"]
-pmax_ms = (base - t) * 1e3
-
-
 def cheap_bounds(ext, N, P):
-    zP = ext["maxima"] * np.int32(0)  # real-layout [P,L] zeros
+    # maxima >= 0 always, so min(maxima, 0) is a fold-proof real zero
+    zP = jnp.minimum(ext["maxima"], np.int32(0))
     riP = lax.broadcasted_iota(I32, zP.shape, 0)
     lefts = zP + jnp.where(riP == 1, np.int32(15), np.int32(0))
     rights = zP + jnp.where(riP == 0, np.int32(15), jnp.where(riP == 1, np.int32(N), np.int32(0)))
     return lefts, rights, riP < ext["n_max"]
 
 
-PS._phase_bounds_lanes = cheap_bounds
-t = timeit("no phase bounds")
-PS._phase_bounds_lanes = orig["bounds"]
-bounds_ms = (base - t) * 1e3
+def ablate(tag, obj, attr, stand_in):
+    saved = getattr(obj, attr)
+    setattr(obj, attr, stand_in)
+    try:
+        t = timeit(tag)
+        return (base - t) * 1e3
+    except Exception as e:
+        print(f"{tag:28s} FAILED: {str(e).splitlines()[0][:90]}", flush=True)
+        return float("nan")
+    finally:
+        setattr(obj, attr, saved)
+
+
+rel_ms = ablate("no relextrema", PS, "_relextrema_lanes", cheap_relex)
+exp_ms = ablate("no ds_exp", ds, "ds_exp_shifted", lambda xh, xl: (jnp.where(xh < 0, F32(1.0) + xh * F32(1e-4), F32(1.0)), xl * F32(0.0)))
+sums_ms = ablate("no tree sums", ds, "ds_sum_pairs", cheap_sums)
+pmax_ms = ablate("no per-phase pair max", PS, "_masked_pair_max", lambda xh, xl, m, neg: (xh[:1], xl[:1]))
+bounds_ms = ablate("no phase bounds", PS, "_phase_bounds_lanes", cheap_bounds)
 
 # props off = pks muls + extra tree sums + divisions
 PS._sweep_ds_pallas.clear_cache()
