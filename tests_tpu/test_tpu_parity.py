@@ -180,3 +180,31 @@ def test_n1_sweep_engines_on_chip(tmp_path):
     for k in ("fe", "ntot", "u", "density"):
         d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
         assert d < BAR, (k, d)
+
+
+def test_production_n573_sweep_on_chip():
+    """The N=573 square-well composite through BOTH engines on chip —
+    the workload that exposed three production-N failures on 2026-08-17
+    (global-shift underflow to fe=inf in the XLA engine, a 25G HBM OOM
+    at B=262k, and a kernel VMEM OOM at block 256/NPAD 1024).  Guards
+    all three: the XLA reference auto-chunks, the kernel runs at the
+    NPAD-scaled block, and both agree at the production bar with exact
+    segmentation."""
+    h0 = oneDH.histogram(
+        "/root/reference/example/ntot/square_well/T_0.90/composite.nc", 1.0 / 0.90, [0.0], smooth=10
+    )
+    hh, meta = h0._hist(), h0._meta(max_phases=4)
+    from fhmcanalysis_tpu.core import pipeline as P
+
+    mus = np.linspace(-4.4, -3.6, 512)
+    got = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="pallas")
+    want = P.mu_sweep_thermo(hh, meta, mus, props=True, engine="xla")
+    for k in ("valid", "mask", "n_phases", "left", "right"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+    msk = np.asarray(want["mask"])
+    assert bool(np.asarray(want["valid"]).all())
+    for k in ("fe", "ntot", "u", "density"):
+        g = np.where(msk, np.asarray(got[k]), 0.0)
+        w = np.where(msk, np.asarray(want[k]), 0.0)
+        assert np.isfinite(g).all() and np.isfinite(w).all(), k
+        assert np.max(np.abs(g - w)) < BAR, (k, np.max(np.abs(g - w)))
