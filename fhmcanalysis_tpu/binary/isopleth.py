@@ -38,7 +38,6 @@ from jax.sharding import NamedSharding, PartitionSpec as _Psp
 from ..core import ops as _ops
 from ..core import segment as _segment
 from ..core.derivs import DerivEngine
-from ..core.numerics import normalize_lnpi
 from ..core.state import Hist, HistMeta
 from ..histogram import ntot as gch
 

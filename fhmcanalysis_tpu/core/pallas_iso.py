@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import ds
 from .pallas_mb import _bcast_scalar, _const_block_mb, _unpack_cst_mb, extrap_source_lanes
 from .pallas_sweep import F32, I32, _npad, default_block, thermo_lanes
-from .state import Hist, HistMeta
+from .state import Hist
 
 __all__ = ["iso_grid_ds"]
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .extrap import temp_dmu_extrap, temp_dmu_extrap_key
 from .ops import reweight
-from .segment import thermo, thermo_core, thermo_core_props, thermo_key_core, thermo_props
+from .segment import thermo, thermo_core, thermo_core_props, thermo_key_core
 from .state import Hist, HistMeta
 
 __all__ = ["mu_sweep_thermo", "mu_sweep_body", "mu_beta_sweep_thermo", "mu_beta_sweep_body", "most_stable_phase"]

@@ -25,7 +25,7 @@ from .. import io as _io  # noqa: F401
 from ..core import extrap as _extrap
 from ..core import ops as _ops
 from ..core.derivs import DerivEngineN1
-from ..core.state import Hist, HistMeta, make_hist
+from ..core.state import Hist, HistMeta
 from . import ntot as _ntot
 
 __all__ = ["histogram", "phase_eq_error"]

@@ -24,7 +24,6 @@ from .. import io as _io
 from ..core import extrap as _extrap
 from ..core import ops as _ops
 from ..core import segment as _segment
-from ..core import solve as _solve
 from ..core.derivs import DerivEngine
 from ..core.moments import mom_prod, order_mom_address
 from ..core.state import Hist, HistMeta, make_hist

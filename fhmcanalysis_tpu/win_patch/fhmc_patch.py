@@ -10,7 +10,6 @@ directly (validated against fmin to <1e-6 in the test suite).
 
 from __future__ import annotations
 
-import copy
 import os
 import re
 import time
