@@ -377,3 +377,30 @@ class TestDeepSubdominantPhase:
         np.testing.assert_allclose(nt[0], nt_ref[0], rtol=0, atol=1e-10)
         assert np.isnan(nt_ref[1])
         np.testing.assert_allclose(nt[1], 23.0, rtol=0, atol=1e-9)
+
+
+class TestXlaChunkGuards:
+    """The HBM chunk guards must be transparent: chunked == unchunked
+    elementwise (triggered in production only above 96M [B,N] elements —
+    the N=573/B=262k compile-time OOM; forced small here)."""
+
+    def test_sweep_chunked_matches(self, hist, monkeypatch):
+        hh, meta = hist._hist(), hist._meta(max_phases=4)
+        mus = np.linspace(4.0, 6.0, 10000)
+        want = P.mu_sweep_thermo(hh, meta, mus, engine="xla")
+        monkeypatch.setattr(P, "_XLA_CHUNK_TRIGGER", 1000)
+        monkeypatch.setattr(P, "_XLA_CHUNK_TARGET", 31 * 4096 * 2)
+        got = P.mu_sweep_thermo(hh, meta, mus, engine="xla")
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
+    def test_mb_chunked_matches(self, hist, monkeypatch):
+        hh, meta = hist._hist(), hist._meta(max_phases=4)
+        mus = np.linspace(4.5, 5.5, 24)
+        betas = np.linspace(0.97, 1.03, 4)
+        dmus = np.full((4, 1), -5.0)
+        want = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=1, engine="xla")
+        monkeypatch.setattr(P, "_XLA_CHUNK_TRIGGER", 10)
+        got = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=1, engine="xla")
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
