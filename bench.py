@@ -580,9 +580,12 @@ def main():
     # ---------------- (mu, beta, dMu) joint Taylor sweeps ----------------
     h2 = _trimmed_mb_hist(histogram)
     hh2, meta2 = h2._hist(), h2._meta(max_phases=4)
-    # 8192x32 = 262k points: measured faster per point than 16384x32
-    # (1.23M vs 0.70M pts/s at order 1 on v5e; larger M pressures HBM)
-    M, A = (64, 8) if quick else (8192, 32)
+    # 65536x32 = 2.1M points: the kernel engine scales with batch where
+    # the old XLA path could not (measured 2026-08-17 same-run: o1
+    # 6.4M pts/s at 262k -> 19.6M at 2.1M -> 21.7M at 4.2M; the 262k
+    # call was ~70% fixed tunnel RPC).  The old 8192x32 comment about
+    # HBM pressure applied to the XLA engine's [B,N] buffers only.
+    M, A = (64, 8) if quick else (65536, 32)
     mb_mus = np.linspace(mu_lo, mu_hi, M)
     mb_betas = np.linspace(0.92, 1.08, A)
     mb_dmus = np.linspace(-5.5, -4.5, A)[:, None]
@@ -627,6 +630,35 @@ def main():
     cj = rng.integers(0, Xiso.shape[1], 8)
     spec["iso_cells"] = [[float(Xiso[i, j]), float(Yiso[i, j])] for i, j in zip(ci, cj)]
 
+    # ---------------- Pallas isopleth kernel (VERDICT r1 item 3) ---------
+    # ~91k cells clears the auto threshold (isopleth.py: >= 65536 cells ->
+    # the core/pallas_iso.py cell kernel).  Runs BEFORE the oracle starts
+    # so its sampled cells ride the same per-cell host gate as the small
+    # grid (the previous subsample-vs-small-grid cross-gate was broken:
+    # ceil grid arithmetic gives ny 92 vs 182, whose lattices never nest).
+    iso_big = None
+    n_iso_small = len(spec["iso_cells"])
+    if not quick:
+        _stage("isopleth pallas (91k cells)")
+        try:
+            delta_big = (0.01, 0.005)  # 501 x 182 ~ 91k cells
+            iso2 = isopleth(srcs, spec["iso_beta"], order=spec["iso_order"])
+            iso2.make_grid(mu1_b, dmu2_b, delta_big, engine="auto")
+            big_cells = iso2.data["X"].size
+            t0 = time.perf_counter()
+            for _ in range(2):
+                iso2.make_grid(mu1_b, dmu2_b, delta_big, engine="auto")
+            iso_big = (big_cells, (time.perf_counter() - t0) / 2)
+            FALLBACK["iso_big"] = ("isopleth_pallas_cells_per_sec", big_cells / iso_big[1], "cells/s", 1.0)
+            ci2 = rng.integers(0, iso2.data["X"].shape[0], 8)
+            cj2 = rng.integers(0, iso2.data["X"].shape[1], 8)
+            spec["iso_cells"] += [
+                [float(iso2.data["X"][i, j]), float(iso2.data["Y"][i, j])] for i, j in zip(ci2, cj2)
+            ]
+        except Exception as e:
+            iso_big = None
+            sys.stderr.write("pallas isopleth grid skipped: %r\n" % (e,))
+
     # ---------------- headline timing ------------------------------------
     # (the CPU oracle grinds its 1k-point host loop concurrently)
     _stage("headline timing")
@@ -659,37 +691,6 @@ def main():
             FALLBACK["big"] = ("reweight_thermo_8M_points_per_sec", BB / big_secs, "points/s", TARGET)
         except Exception as e:
             sys.stderr.write("8M batch skipped: %r\n" % (e,))
-
-    # ---------------- Pallas isopleth kernel (VERDICT r1 item 3) ---------
-    # ~91k cells clears the auto threshold (isopleth.py: >= 65536 cells ->
-    # the core/pallas_iso.py cell kernel).  Runs LAST among device work so
-    # a fresh Mosaic compile that blows the watchdog costs nothing else.
-    iso_big = None
-    if not quick:
-        _stage("isopleth pallas (91k cells)")
-        try:
-            delta_big = (0.01, 0.005)  # 501 x 181 = 90,681 cells
-            iso2 = isopleth(srcs, spec["iso_beta"], order=spec["iso_order"])
-            iso2.make_grid(mu1_b, dmu2_b, delta_big, engine="auto")
-            big_cells = iso2.data["X"].size
-            t0 = time.perf_counter()
-            for _ in range(2):
-                iso2.make_grid(mu1_b, dmu2_b, delta_big, engine="auto")
-            iso_big = (big_cells, (time.perf_counter() - t0) / 2)
-            FALLBACK["iso_big"] = ("isopleth_pallas_cells_per_sec", big_cells / iso_big[1], "cells/s", 1.0)
-            # cross-gate the kernel against the already-oracle-gated XLA
-            # small grid: the big grid contains the small grid's lattice
-            # every 2nd mu1 / 2nd dmu2 point? (deltas halve exactly), so
-            # compare on the shared cells instead of spending more oracle
-            big_x1 = iso2.data["Z"][::2, ::2]
-            big_fe = iso2.data["F.E./kT"][::2, ::2]
-            assert big_x1.shape == iso.data["Z"].shape, (big_x1.shape, iso.data["Z"].shape)
-            vmask = iso.data["valid"] & iso2.data["valid"][::2, ::2]
-            _gate("iso_pallas_vs_xla_x1", float(np.abs(np.where(vmask, big_x1 - iso.data["Z"], 0.0)).max()))
-            _gate("iso_pallas_vs_xla_fe", float(np.abs(np.where(vmask, big_fe - iso.data["F.E./kT"], 0.0)).max()), bar=1e-6)
-        except Exception as e:
-            iso_big = None
-            sys.stderr.write("pallas isopleth grid skipped: %r\n" % (e,))
 
     # ---------------- parity gates (CPU oracle) --------------------------
     _stage("oracle join")
@@ -727,6 +728,21 @@ def main():
         worst_fe = max(worst_fe, abs(iso.data["F.E./kT"][i, j] - r["fe"]))
     _gate("isopleth_x1_rho", worst_x)
     _gate("isopleth_fe", worst_fe, bar=1e-6)
+
+    # pallas isopleth kernel cells vs the same per-cell oracle
+    if iso_big is not None:
+        worst_x = worst_fe = 0.0
+        for k, (i, j) in enumerate(zip(ci2, cj2)):
+            r = ref["iso"][n_iso_small + k]
+            assert bool(iso2.data["valid"][i, j]) == r["valid"], "iso-pallas validity mismatch at %s" % ((i, j),)
+            worst_x = max(
+                worst_x,
+                abs(iso2.data["Z"][i, j] - r["x1"]),
+                abs(iso2.data["density"][i, j] - r["density"]),
+            )
+            worst_fe = max(worst_fe, abs(iso2.data["F.E./kT"][i, j] - r["fe"]))
+        _gate("iso_pallas_x1_rho", worst_x)
+        _gate("iso_pallas_fe", worst_fe, bar=1e-6)
 
     # N=573 sweep vs the smooth=10 class path
     worst = 0.0
