@@ -22,7 +22,16 @@ cheapest sweep):
                                      (p, beta) states in two device launches
                                      (VERDICT r1 item 1 done-criterion);
                                      vs_baseline = speedup over the per-state
-                                     numpy class path timed in the oracle
+                                     numpy class path timed in the oracle.
+                                     NOTE: the fixture surface is toy-sized
+                                     (13x21 — synthetic ridge-safe two-basin
+                                     geometry), so per-state numpy is cheap
+                                     and the ratio is dominated by the fixed
+                                     ~30 ms tunnel RPC of the two launches;
+                                     the device pipeline's value is batch
+                                     scaling (S states, two launches,
+                                     mesh-shardable), not per-toy-state
+                                     latency
   mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
   mu_beta_extrap_o2_points_per_sec   same at order 2
   isopleth_grid_cells_per_sec        binary isopleth make_grid surface (XLA
