@@ -47,7 +47,24 @@ __all__ = [
     "check_gibbs_duhem",
     "parameterize_mesh",
     "combine_isopleth_grids",
+    "FAIL_OK",
+    "FAIL_EDGE_UNSAFE",
+    "FAIL_SEGMENTATION",
+    "FAIL_PHASE_OVERFLOW",
 ]
+
+# Per-cell failure reason codes (iso.data["fail_code"]): the reference
+# prints each failed pixel's exception and moves on (gc_binary.pyx:441-442,
+# 453-454, 465-468); the fixed-shape grids here carry the reason as a
+# small int alongside the `valid` mask instead.
+FAIL_OK = 0  # cell computed; valid=True
+FAIL_EDGE_UNSAFE = 1  # segmentation fine, but an edge guard failed: the
+#                       reweighted source tail or the mixed surface's last
+#                       maximum misses the is_safe cutoff (gc_hist.pyx:556-596)
+FAIL_SEGMENTATION = 2  # extrema alternation/order checks failed on the
+#                        mixed surface (relextrema repairs could not fix it)
+FAIL_PHASE_OVERFLOW = 3  # more maxima than max_phases padding slots; retry
+#                          with a larger max_phases in _meta()
 
 
 def _find_left_right(ordered_dmu2, val, bound=False):
@@ -168,8 +185,6 @@ def _grid_eval(
         ln_m = (lnL * w0 + lnR * w1) / (w0 + w1)
         mk_m = (mkL * w0 + mkR * w1) / (w0 + w1)
 
-        m = jnp.max(ln_m)
-        e = jnp.exp(ln_m - m)
         # segment ONCE: thermo bounds and the is_safe extremum share it
         ext = _segment.relextrema(ln_m, meta.smooth, meta.max_phases)
         if collect is not None:
@@ -177,19 +192,32 @@ def _grid_eval(
         n = ln_m.shape[-1]
         lefts, rights, pmask = _segment.phase_bounds(ext, n, meta.max_phases)
         bounds = (lefts, rights, pmask, ext.n_max, ext.valid)
-        pt, props = _segment.thermo_key_core(ln_m, e, mk_m, meta, volume, shift=m, bounds=bounds)
+        pt, props = _segment.thermo_key_core(ln_m, mk_m, meta, volume, bounds=bounds)
 
         stable = jnp.argmin(jnp.where(pt.mask, pt.fe, jnp.inf))
         # is_safe: last maximum at least `cutoff` above the tail
         last_max = _segment._take_small(ext.maxima, ext.n_max - 1)
         safe = (_segment._take_small(ln_m, last_max) - ln_m[-1]) >= cutoff
-        ok = pt.valid & safe & edge2[0] & edge2[1]
+        guard = safe & edge2[0] & edge2[1]
+        ok = pt.valid & guard
+
+        # per-cell failure reason (the reference prints each pixel's
+        # exception and continues, gc_binary.pyx:441-468; here the grids
+        # stay fixed-shape and the reason rides alongside `valid`):
+        #   0 ok / 1 edge-unsafe / 2 segmentation-invalid /
+        #   3 phase-padding overflow (more maxima than max_phases slots)
+        overflow = ext.n_max > jnp.int32(meta.max_phases)
+        code = jnp.where(
+            pt.valid,
+            jnp.where(guard, jnp.int32(FAIL_OK), jnp.int32(FAIL_EDGE_UNSAFE)),
+            jnp.where(overflow, jnp.int32(FAIL_PHASE_OVERFLOW), jnp.int32(FAIL_SEGMENTATION)),
+        )
 
         x1 = _segment._take_small(props["x_i"][:, 0], stable)
         rho = _segment._take_small(props["density"], stable)
         fe = _segment._take_small(pt.fe, stable)
         z = jnp.where(ok, x1, 0.0)
-        return z, jnp.where(ok, rho, 0.0), jnp.where(ok, fe, 0.0), ok
+        return z, jnp.where(ok, rho, 0.0), jnp.where(ok, fe, 0.0), ok, code
 
     # inner vmap over mu_1 columns (NX), outer over dmu_2 rows (NY):
     # vmap slicing replaces every per-cell index
@@ -323,9 +351,10 @@ class isopleth(object):
         if use_pallas and collect not in (None, "janus"):
             raise NotImplementedError("the pallas isopleth kernel implements only the 'janus' collect; use engine='xla' or 'auto'")
         if engine == "auto" and mesh is None and self.data["X"].size >= 65536 and collect in (None, "janus"):
+            from ..core.pallas_sweep import kernel_supported
             from ..core.pipeline import _PALLAS_OK
 
-            if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True):
+            if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True) and kernel_supported(n0):
                 use_pallas = True
         if use_pallas:
             if mesh is not None:
@@ -362,7 +391,7 @@ class isopleth(object):
         for start in range(0, len(mu1_v_full), mu1_chunk):
             cols.append(self._grid_block(mu1_v_full[start : start + mu1_chunk], dmu2_v, m, mesh=mesh, collect=collect))
 
-        for key in ("Z", "density", "F.E./kT", "valid"):
+        for key in ("Z", "density", "F.E./kT", "valid", "fail_code"):
             self.data[key] = np.concatenate([c[key] for c in cols], axis=1)
         return self.data["Z"], (self.data["X"], self.data["Y"])
 
@@ -445,7 +474,7 @@ class isopleth(object):
         if mesh is not None:
             mom_key_b = jax.device_put(mom_key_b, NamedSharding(mesh, _Psp()))
 
-        z, rho, fe, ok = _grid_eval(
+        z, rho, fe, ok, code = _grid_eval(
             both(0),
             mom_key_b,
             both(1),
@@ -472,6 +501,7 @@ class isopleth(object):
             "density": np.asarray(rho)[:, :nx_out],
             "F.E./kT": np.asarray(fe)[:, :nx_out],
             "valid": np.asarray(ok)[:, :nx_out],
+            "fail_code": np.asarray(code)[:, :nx_out],
         }
 
     def _grid_block_kernel(self, mu1_v, dmu2_v, m, mode=None, collect=None):
@@ -482,7 +512,7 @@ class isopleth(object):
         hs = self.data["histograms"]
         srcs = tuple(h._hist() for h in hs)
         metas = tuple(h._meta() for h in hs)
-        z, rho, fe, ok = iso_grid_ds(
+        z, rho, fe, ok, code = iso_grid_ds(
             srcs, metas, mu1_v, dmu2_v, lr, wts,
             self.meta["beta"], self.meta["order"], self.meta["cutoff"], mode=mode, collect=collect,
         )
@@ -490,6 +520,7 @@ class isopleth(object):
         self.data["density"] = np.asarray(rho)
         self.data["F.E./kT"] = np.asarray(fe)
         self.data["valid"] = np.asarray(ok)
+        self.data["fail_code"] = np.asarray(code)
 
     # the chunked variant of the reference is subsumed by the batched path
     make_grid_multi = make_grid

@@ -153,7 +153,18 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
     tail_m = (ln_m[0][last : last + 1], ln_m[1][last : last + 1])
     diff = ds.ds_sub(lmh, lml, *tail_m)
     safe = ~ds.ds_lt(*diff, F32(cutoff), F32(0.0))
-    ok = pt["valid"] & safe & edgeL & edgeR
+    guard = safe & edgeL & edgeR
+    ok = pt["valid"] & guard
+    # per-cell failure reason, matching binary.isopleth FAIL_* codes
+    # (0 ok / 1 edge-unsafe / 2 segmentation-invalid / 3 phase overflow);
+    # np.int32 constants: weak python ints trace as i64 under x64 and
+    # Mosaic rejects them
+    overflow = n_max > np.int32(P)
+    code = jnp.where(
+        pt["valid"],
+        jnp.where(guard, np.int32(0), np.int32(1)),
+        jnp.where(overflow, np.int32(3), np.int32(2)),
+    )
 
     # most stable phase: masked lexicographic argmin of the stacked pair
     # free energies; ties keep the lowest slot (the serial loop's rule)
@@ -179,7 +190,8 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
         return (jnp.where(ok, pair[0], F32(0.0)), jnp.where(ok, pair[1], F32(0.0)))
 
     z, rho, fe = gate(z), gate(rho), gate(fe)
-    return jnp.concatenate([z[0], z[1], rho[0], rho[1], fe[0], fe[1]], axis=0), ok.astype(I32)
+    out_i = jnp.concatenate([ok.astype(I32), code], axis=0)
+    return jnp.concatenate([z[0], z[1], rho[0], rho[1], fe[0], fe[1]], axis=0), out_i
 
 
 def _bcast_scalar2(pair, like_h):
@@ -295,7 +307,7 @@ def _lanes(mu1_v, dmu2_v, lr, wts, block):
 
 @partial(jax.jit, static_argnames=("N", "smooth", "P", "S", "order", "cutoff", "W", "block", "nb", "interpret", "collect"))
 def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret, collect=None):
-    NRF, NRI = 6, 1
+    NRF, NRI = 6, 2
     import sys
 
     if sys.getrecursionlimit() < 40000:
@@ -339,7 +351,8 @@ def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, c
     rho = ds.join_f64(out_f[2], out_f[3]).reshape(NY, NX)
     fe = ds.join_f64(out_f[4], out_f[5]).reshape(NY, NX)
     ok = out_i[0].reshape(NY, NX).astype(bool)
-    return z, rho, fe, ok
+    code = out_i[1].reshape(NY, NX)
+    return z, rho, fe, ok, code
 
 
 def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, collect=None):
@@ -359,15 +372,17 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     rho = ds.join_f64(f[2], f[3]).reshape(NY, NX)
     fe = ds.join_f64(f[4], f[5]).reshape(NY, NX)
     ok = i[0].reshape(NY, NX).astype(bool)
-    return z, rho, fe, ok
+    code = i[1].reshape(NY, NX)
+    return z, rho, fe, ok, code
 
 
 def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None, collect=None):
     """Evaluate an isopleth grid block with the fused cell kernel.
 
     sources: list of Hist; lr/wts: host bracket indices/weights per dmu2
-    row.  Returns (Z, density, fe, ok) as [NY, NX] f64/bool arrays,
-    matching isopleth._grid_eval's outputs.
+    row.  Returns (Z, density, fe, ok, fail_code) as [NY, NX]
+    f64/bool/i32 arrays, matching isopleth._grid_eval's outputs
+    (fail_code uses the binary.isopleth FAIL_* encoding).
 
     The isopleth constructor validates nspec and beta_ref only, so the
     kernel's shared-row assumptions are checked HERE: all sources must

@@ -656,6 +656,22 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
     return _unpack(out_f, out_i, B, P, S, props)
 
 
+# Largest padded bin count the double-single kernels support: the lane
+# block cannot shrink below the 128-lane TPU tile, and at block 128 the
+# ~18-20 live [NPAD, 128] f32 arrays pass the 16 MB scoped-VMEM budget
+# once NPAD reaches 2048 (NPAD=1024 measured 9.3 MB and compiles;
+# doubling it mirrors the measured 18.66 MB OOM at NPAD=1024/block=256).
+KERNEL_MAX_NPAD = 1024
+
+
+def kernel_supported(n_bins: int) -> bool:
+    """True when the double-single kernels can hold an [NPAD, 128] working
+    set for this composite in scoped VMEM; auto-engine dispatch uses this
+    so an oversized composite routes to the XLA engine without burning a
+    Mosaic compile or tripping the process-wide kernel-failure memo."""
+    return _npad(n_bins) <= KERNEL_MAX_NPAD
+
+
 def default_block(n_bins: int) -> int:
     """Lane-block size: 256 lanes, dropping to 128 once the [NPAD, block]
     working set passes ~0.5 MB (the kernels keep ~18-20 such arrays live;
@@ -665,8 +681,19 @@ def default_block(n_bins: int) -> int:
     pts/s vs 26.7M at 512, 22.4M at the old 2048 default) AND
     Mosaic-compiles 40-60% faster (~10 s vs 17-30 s live-tunnel; 4096
     VMEM-OOMs outright) — smaller blocks mean fewer vregs per op for the
-    same total work, and the per-block fixed cost is negligible."""
+    same total work, and the per-block fixed cost is negligible.
+
+    Raises for composites past KERNEL_MAX_NPAD instead of returning a
+    block that would VMEM-OOM at Mosaic compile time (the lane tile
+    cannot shrink below 128)."""
     npad = _npad(n_bins)
+    if npad > KERNEL_MAX_NPAD:
+        raise ValueError(
+            "composite too large for the pallas kernels: %d bins pads to "
+            "NPAD=%d > %d, whose [NPAD, 128] working set exceeds scoped "
+            "VMEM; use engine='xla' (auto dispatch does this itself)"
+            % (n_bins, npad, KERNEL_MAX_NPAD)
+        )
     return max(128, min(256, (1 << 17) // npad))
 
 

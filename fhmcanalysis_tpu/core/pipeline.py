@@ -34,9 +34,7 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None, seg_f
     surface and integration uses PER-PHASE max-shifted weights computed
     inside segment._phase_weights — no normalization log, no [N]-wide
     e/s division (f64 division is emulated op-by-op on TPU), one [N] exp
-    total.  (The e/m computed here feed the legacy prob/shift arguments,
-    which the cores no longer consume — XLA elides them; kept so the
-    call shape stays stable.)
+    total.
 
     Per-phase (not global) shifts are mandatory, not just precision
     hygiene: TPU-emulated f64 keeps only the f32 EXPONENT range
@@ -48,12 +46,10 @@ def _point_thermo(h: Hist, meta: HistMeta, mu1, props: bool, collect=None, seg_f
     always.
     """
     x = h.lnpi + (mu1 - h.curr_mu[..., 0]) * h.curr_beta * h.op
-    m = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x - m)
     if props:
-        pt, pp = thermo_core_props(x, e, h.mom, meta, h.volume, shift=m[..., 0], collect=collect, seg_f32=seg_f32)
+        pt, pp = thermo_core_props(x, h.mom, meta, h.volume, collect=collect, seg_f32=seg_f32)
     else:
-        pt, pp = thermo_core(x, e, h.mom, meta, props=False, shift=m[..., 0], collect=collect, seg_f32=seg_f32), None
+        pt, pp = thermo_core(x, h.mom, meta, props=False, collect=collect, seg_f32=seg_f32), None
     out = {
         "fe": pt.fe,
         "mask": pt.mask,
@@ -142,7 +138,12 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
         raise ValueError("seg_f32 is an XLA-engine option; the pallas kernel's pair compares are already exact")
     if engine == "auto" and collect in (None, "janus") and not seg_f32:
         if jax.default_backend() == "tpu" and _PALLAS_OK.get("sweep", True):
-            use_pallas = True
+            from .pallas_sweep import kernel_supported
+
+            # oversized composites (NPAD > 1024) route straight to XLA:
+            # attempting the kernel would ValueError in default_block and
+            # poison the process-wide failure memo for valid sizes
+            use_pallas = kernel_supported(h.lnpi.shape[-1])
     if use_pallas:
         from .pallas_sweep import mu_sweep_thermo_ds
 
@@ -187,9 +188,7 @@ def mu_beta_sweep_body(
             # key-row moment extrapolation: the full-tensor apply was ~6x
             # the rest of the point cost, and thermo reads nspec+1 rows
             lnpi, key = temp_dmu_extrap_key(hh, meta, beta, dmu, order=order, first_order_mom=first_order_mom, sg_memo=sg_memo)
-            m = jnp.max(lnpi, axis=-1)
-            e = jnp.exp(lnpi - m[..., None])
-            pt, pp = thermo_key_core(lnpi, e, key, meta, hh.volume, shift=m, collect=collect)
+            pt, pp = thermo_key_core(lnpi, key, meta, hh.volume, collect=collect)
         else:
             hh = temp_dmu_extrap(hh, meta, beta, dmu, order=order, skip_mom=True, first_order_mom=first_order_mom, sg_memo=sg_memo)
             (hh, pt), pp = thermo(hh, meta, props=False, collect=collect), None
@@ -278,7 +277,9 @@ def mu_beta_sweep_thermo(
         and jax.default_backend() == "tpu"
         and _PALLAS_OK.get("mb", True)
     ):
-        use_pallas = True
+        from .pallas_sweep import kernel_supported
+
+        use_pallas = kernel_supported(h.lnpi.shape[-1])
     if use_pallas:
         from .pallas_mb import mu_beta_sweep_thermo_ds
 

@@ -343,7 +343,7 @@ def thermo(
     """
     lnpi = normalize_lnpi(h.lnpi)
     h = h.replace(lnpi=lnpi)
-    pt = thermo_core(lnpi, jnp.exp(lnpi), h.mom, meta, props=props, complete=complete, dedupe_mom=dedupe_mom, collect=collect)
+    pt = thermo_core(lnpi, h.mom, meta, props=props, complete=complete, dedupe_mom=dedupe_mom, collect=collect)
     return h, pt
 
 
@@ -383,7 +383,7 @@ def _segment_bounds(lnpi, meta: HistMeta, complete: bool, collect=None, seg_f32:
     return lefts, rights, mask, n_phases, valid
 
 
-def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, collect=None, seg_f32: bool = False):
+def _segment_integrate(lnpi, meta: HistMeta, complete: bool, collect=None, seg_f32: bool = False):
     """Shared segmentation + probability integration, PER-PHASE shifted.
 
     Returns (lefts, rights, mask, n_phases, valid, parts, wsum, fe) where
@@ -403,11 +403,7 @@ def _segment_integrate(lnpi, prob, meta: HistMeta, complete: bool, shift=0.0, co
     suffices: each bin takes its covering phase's shift (phases overlap
     only at bin N-1 via the right==N-1 -> N endpoint rule, and that bin's
     contribution is added per phase exactly from a [P]-sized exp).
-
-    prob/shift args are retained for API compatibility but no longer
-    consumed (callers' global-shift exp is dead code XLA elides).
     """
-    del prob, shift
     lefts, rights, mask, n_phases, valid = _segment_bounds(lnpi, meta, complete, collect, seg_f32)
     in_range, e, e_last, in_last, not_last, m_pf, wsum = _phase_weights(lnpi, lefts, rights, mask)
 
@@ -450,26 +446,23 @@ def _phase_weights(lnpi, lefts, rights, mask):
 
 def thermo_core(
     lnpi: jax.Array,
-    prob: jax.Array,
     mom: jax.Array,
     meta: HistMeta,
     props: bool = True,
     complete: bool = False,
     dedupe_mom: bool = True,
-    shift=0.0,
     collect=None,
     seg_f32: bool = False,
 ) -> PhaseThermo:
-    """Segmentation + integration given normalized lnPI and its exp.
+    """Segmentation + integration on a (possibly unnormalized) lnPI.
 
-    Separated so fused sweep pipelines can share one exp between
-    normalization and integration (exp dominates the non-matmul cost of a
-    sweep point on TPU-emulated f64).  See _segment_integrate for the
-    shift convention (unnormalized inputs allowed).
+    Separated from the class wrapper so fused sweep pipelines can call it
+    per point under vmap; normalization is unnecessary (see
+    _segment_integrate for the per-phase shift convention).
     """
     P = meta.max_phases
     N = lnpi.shape[-1]
-    lefts, rights, mask, n_phases, valid, parts, wsum, fe = _segment_integrate(lnpi, prob, meta, complete, shift, collect, seg_f32)
+    lefts, rights, mask, n_phases, valid, parts, wsum, fe = _segment_integrate(lnpi, meta, complete, collect, seg_f32)
     e, e_last, in_last, not_last, m_pf = parts
 
     if props:
@@ -514,12 +507,10 @@ def thermo_core(
 
 def thermo_core_props(
     lnpi: jax.Array,
-    prob: jax.Array,
     mom: jax.Array,
     meta: HistMeta,
     volume,
     complete: bool = False,
-    shift=0.0,
     collect=None,
     seg_f32: bool = False,
 ) -> tuple[PhaseThermo, dict]:
@@ -536,7 +527,7 @@ def thermo_core_props(
     N = lnpi.shape[-1]
     mom2d = mom.reshape(meta.n_addr, N)  # [A,N]
     key = mom2d[jnp.array(key_row_addresses(meta), dtype=jnp.int32)]  # [S+1,N]
-    return thermo_key_core(lnpi, prob, key, meta, volume, complete=complete, shift=shift, collect=collect, seg_f32=seg_f32)
+    return thermo_key_core(lnpi, key, meta, volume, complete=complete, collect=collect, seg_f32=seg_f32)
 
 
 def key_row_addresses(meta: HistMeta) -> list:
@@ -548,12 +539,10 @@ def key_row_addresses(meta: HistMeta) -> list:
 
 def thermo_key_core(
     lnpi: jax.Array,
-    prob: jax.Array,
     key: jax.Array,  # [S+1, N] key moment rows (see key_row_addresses)
     meta: HistMeta,
     volume,
     complete: bool = False,
-    shift=0.0,
     collect=None,
     seg_f32: bool = False,
     bounds=None,
@@ -565,7 +554,6 @@ def thermo_key_core(
     bounds: optional precomputed (lefts, rights, mask, n_phases, valid)
     from _segment_bounds/phase_bounds — callers that also need the raw
     extrema (e.g. for is_safe) segment once and share."""
-    del prob, shift
     P = meta.max_phases
     N = lnpi.shape[-1]
     S = meta.nspec
@@ -612,7 +600,7 @@ def thermo_props(h: Hist, meta: HistMeta, complete: bool = False, collect=None) 
     """normalize + thermo_core_props convenience wrapper."""
     lnpi = normalize_lnpi(h.lnpi)
     h = h.replace(lnpi=lnpi)
-    pt, props = thermo_core_props(lnpi, jnp.exp(lnpi), h.mom, meta, h.volume, complete=complete, collect=collect)
+    pt, props = thermo_core_props(lnpi, h.mom, meta, h.volume, complete=complete, collect=collect)
     return h, pt, props
 
 

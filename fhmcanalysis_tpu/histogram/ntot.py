@@ -317,7 +317,11 @@ class histogram(object):
             phase[p]["bound_idx"] = (left, right)
 
             if props:
-                prob = np.exp(lnpi[left:right])
+                # per-phase max shift: the mom/prob ratio is invariant
+                # under prob -> prob*exp(-m), and a deep subdominant
+                # phase (every lnpi < ~-745) would otherwise underflow
+                # sum_prob to 0 and emit a 0/0 RuntimeWarning
+                prob = np.exp(lnpi[left:right] - np.max(lnpi[left:right]))
                 sum_prob = np.sum(prob)
                 mom = np.asarray(self.data["mom"], dtype=np.float64)
                 # one fused tensordot over the phase slice (reference's

@@ -54,6 +54,11 @@ def _jits():
 def _footprint(len_H: int, len_N: int, nnebr: int):
     """Scaled watershed footprint (pore_hist.pyx:396-409) — depends on
     the surface shape only, shared by every state in the batch."""
+    assert len_H > 1 and len_N > 1, (
+        "pore surface must span at least 2 h values and 2 N_tot bins "
+        "(got %d x %d); a 1-row/1-column joint histogram cannot be "
+        "segmented" % (len_H, len_N)
+    )
     n_incrs = float(len_N - 1)
     h_incrs = float(len_H - 1)
     if h_incrs >= n_incrs:

@@ -18,7 +18,8 @@ def n1_window_scaling(n_f, w_max, n_ov):
     """
     dw = int(round((n_f + (w_max - 1) * n_ov) / float(w_max)))
     assert n_ov < dw / 2.0, (
-        "Non-nearest neighbors will overlap, use a smaller number of windows (w_max) or a smaller overlap (n_ov)"
+        "overlap n_ov >= half the window width: windows beyond nearest "
+        "neighbors would share bins; reduce w_max or n_ov"
     )
     bounds = [(0, dw)]
     for i in range(1, w_max):
@@ -35,7 +36,7 @@ def ntot_window_scaling(n_f, dw, w_max, n_ov):
     Parity: windows.py:42-76.  Returns list of (lb, ub) tuples.
     """
     dw -= n_ov  # account for overlap
-    assert n_ov < w_max, "n_ov too large"
+    assert n_ov < w_max, "overlap n_ov must be smaller than the window count w_max"
 
     alpha = np.log(float(n_f) / (float(n_f) - float(dw))) / np.log(w_max / (w_max - 1.0))
     coeff = float(n_f) / (float(w_max) ** alpha)

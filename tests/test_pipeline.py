@@ -150,10 +150,9 @@ def test_thermo_core_props_matches_full_tensor(hist):
     for mu in [-2.0, 1.5, 4.0, 7.0]:
         hr = ops.reweight(hh, mu)
         lnpi = hr.lnpi - jax.scipy.special.logsumexp(hr.lnpi)
-        prob = jnp.exp(lnpi)
-        pt_full = S.thermo_core(lnpi, prob, hr.mom, meta, props=True)
+        pt_full = S.thermo_core(lnpi, hr.mom, meta, props=True)
         ref = S.phase_props(pt_full, hr.volume)
-        pt_key, got = S.thermo_core_props(lnpi, prob, hr.mom, meta, hr.volume)
+        pt_key, got = S.thermo_core_props(lnpi, hr.mom, meta, hr.volume)
         for k in ref:
             assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), (mu, k)
         for f in ("fe", "left", "right", "mask", "n_phases", "valid"):
@@ -369,13 +368,14 @@ class TestDeepSubdominantPhase:
         fe_ref = np.array([hist.data["thermo"][p]["F.E./kT"] for p in range(2)])
         nt_ref = np.array([hist.data["thermo"][p]["ntot"] for p in range(2)])
         np.testing.assert_allclose(fe, fe_ref, rtol=0, atol=1e-10)
-        # props: the class path (like the reference, gc_hist.pyx:534-541)
-        # averages with globally-normalized probabilities, so the deep
-        # phase's props are 0/0 = nan there; the engine's per-phase
-        # weights give the exact answer (peak centered on bin 23)
+        # props: the class path now per-phase max-shifts its probability
+        # weights (the reference, gc_hist.pyx:534-541, uses globally-
+        # normalized probabilities and reads 0/0 = nan for this phase —
+        # an unrunnable-upstream deviation called out in ntot.thermo), so
+        # both paths give the exact answer (peak centered on bin 23)
         nt = np.asarray(out["ntot"][0])[msk]
-        np.testing.assert_allclose(nt[0], nt_ref[0], rtol=0, atol=1e-10)
-        assert np.isnan(nt_ref[1])
+        np.testing.assert_allclose(nt, nt_ref, rtol=0, atol=1e-10)
+        assert np.isfinite(nt_ref).all(), nt_ref
         np.testing.assert_allclose(nt[1], 23.0, rtol=0, atol=1e-9)
 
 

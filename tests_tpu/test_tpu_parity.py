@@ -182,6 +182,89 @@ def test_n1_sweep_engines_on_chip(tmp_path):
         assert d < BAR, (k, d)
 
 
+def test_trace_coexistence_on_chip():
+    """trace_coexistence over a beta grid on the production N=573
+    composite, on chip, vs the scipy class path (VERDICT r2 item 4) —
+    the redundancy layer for the bench coex gate: this holds even when
+    the bench artifact is degraded by tunnel weather."""
+    from fhmcanalysis_tpu.core import solve as SV
+
+    h0 = oneDH.histogram(
+        "/root/reference/example/ntot/square_well/T_0.90/composite.nc", 1.0 / 0.90, [0.0], smooth=10
+    )
+    hh, meta = h0._hist(), h0._meta(max_phases=4)
+    betas = np.linspace(1.0 / 0.92, 1.0 / 0.88, 8)
+    out = SV.trace_coexistence(hh, meta, betas, -4.03, lnZ_tol=1e-6, min_width=20)
+    assert bool(np.asarray(out["converged"]).all())
+    assert float(np.asarray(out["err"]).max()) <= (1e-6) ** 2
+    mu_star = np.asarray(out["mu_star"])
+    # scipy class path (numpy thermo — exact regardless of backend)
+    import copy
+
+    for i in [0, 4, 7]:
+        hc = copy.deepcopy(h0)
+        eq = hc.find_phase_eq(1e-6, -4.03, beta=float(betas[i]))
+        assert abs(mu_star[i] - float(eq.data["curr_mu"][0])) < 1e-4, i
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_mb_kernel_vs_xla_on_chip(test_nc, order):
+    """The joint (mu, beta, dMu) Pallas kernel vs the forced-XLA engine,
+    both on the chip (VERDICT r2 item 4): exact segmentation, 1e-8
+    values.  test_mu_beta_sweep_parity checks the default engine against
+    the host; this pins the two device engines against each other."""
+    from fhmcanalysis_tpu.core import pipeline as P
+
+    src = _load_for_order(test_nc, order)
+    hh, meta = src._hist(), src._meta(max_phases=4)
+    mus = np.linspace(-1.0, 6.0, 64)
+    betas = np.array([0.95, 1.0, 1.06])
+    dmus = np.array([[-4.9], [-5.0], [-5.1]])
+    got = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=order, props=True, engine="pallas")
+    want = P.mu_beta_sweep_thermo(hh, meta, mus, betas, dmus, order=order, props=True, engine="xla")
+    for k in ("valid", "mask", "n_phases", "left", "right"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+    msk = np.asarray(want["mask"])
+    for k in ("fe", "ntot", "u", "density"):
+        d = np.max(np.abs(np.where(msk, np.asarray(got[k]) - np.asarray(want[k]), 0.0)))
+        assert d < BAR, (k, d)
+
+
+def test_pore_state_sweep_on_chip():
+    """The batched 2-D slit-pore pipeline on chip vs the per-state numpy
+    class path (VERDICT r2 item 4).  Uses the same deterministic
+    two-basin surface as the bench; the device stages run emulated f64
+    on the chip, the class path is pure numpy."""
+    from fhmcanalysis_tpu.two_dim import free_energy_profile, joint_hist, pore_hist, pore_state_sweep
+
+    H, N = 13, 21
+    jh = joint_hist()
+    g1_0 = np.exp(-25.0 / 12.0)
+    g2_0 = np.exp(-225.0 / 12.0)
+    for i in range(H):
+        nmax = min(12 + (i // 2) * 2, N - 1)
+        n = np.arange(0, nmax + 1, dtype=float)
+        G1 = np.exp(-((n - 5.0) ** 2) / 12.0) - g1_0
+        G2 = np.exp(-((n - 15.0) ** 2) / 12.0) - g2_0
+        lnpi = 40.0 * np.exp(-((i - 3.0) ** 2) / 8.0) * G1 + 55.0 * np.exp(-((i - 9.0) ** 2) / 8.0) * G2
+        jh.enter(float(i + 1), lnpi, n.astype(int), {"N_tot": n, "U": -0.5 * n})
+    fh = free_energy_profile.polynomial([0.1, 0.0])
+    S = 6
+    ps = np.linspace(0.0, 0.1, S)
+    betas = np.linspace(0.92, 1.08, S)[::-1].copy()
+    out = pore_state_sweep(jh, fh.free_energy, ps, betas, A=1.0, nnebr=1, max_peaks=4)
+    assert bool(np.asarray(out["ridge_ok"]).all())
+    names = list(out["prop_names"])
+    for s in range(S):
+        ph = pore_hist(jh, fh.free_energy, float(ps[s]), 1.0, float(betas[s]), engine="numpy")
+        props = ph.phase_average(nnebr=1, max_peaks=4)
+        keys = sorted(k for k in props if isinstance(k, int))
+        assert int(out["n_phases"][s]) == len(keys), s
+        for k in keys:
+            assert abs(float(out["fe"][s, k]) - props[k]["F.E./kT"]) < BAR, (s, k)
+            assert abs(float(out["ave"][s, k, names.index("N_tot")]) - props[k]["N_tot"]) < BAR, (s, k)
+
+
 def test_production_n573_sweep_on_chip():
     """The N=573 square-well composite through BOTH engines on chip —
     the workload that exposed three production-N failures on 2026-08-17
