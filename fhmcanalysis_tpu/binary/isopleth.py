@@ -305,7 +305,7 @@ class isopleth(object):
         ny = int(np.ceil((dmu2_bounds[1] - dmu2_bounds[0]) / delta[1])) + 1
         return np.linspace(mu1_bounds[0], mu1_bounds[1], nx), np.linspace(dmu2_bounds[0], dmu2_bounds[1], ny)
 
-    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="xla", collect=None):
+    def make_grid(self, mu1_bounds, dmu2_bounds, delta, m=2.5, mu1_chunk=None, mesh=None, engine="auto", collect=None):
         """Compute the discretized 2D (mu_1, dmu_2) isopleth surface in one
         batched device computation (replaces gc_binary.pyx:355-476).
 
@@ -320,13 +320,16 @@ class isopleth(object):
         the single-device result; the mu_1 axis is padded per block to the
         device count and trimmed on return.
 
-        engine: "xla" (default) or "pallas" (core/pallas_iso.py, the
-        fused double-single cell kernel).  Honest warm-vs-warm on v5e:
-        XLA 63k cells/s vs pallas 27k at 23k cells, 106k vs 120k at 91k
-        cells — the batched XLA path wins small grids (kernel fixed
-        per-lane cost), pallas edges ahead at scale; "auto" picks pallas
-        on TPU for grids >= 64k cells.  pallas is single-device (no
-        mesh) and falls back to XLA on Mosaic failure under "auto".
+        engine: "auto" (default), "xla", or "pallas"
+        (core/pallas_iso.py, the fused double-single cell kernel).
+        Honest warm-vs-warm on v5e: XLA 63k cells/s vs pallas 27k at 23k
+        cells, 106k vs 120k at 91k cells — the batched XLA path wins
+        small grids (kernel fixed per-lane cost), pallas edges ahead at
+        scale; "auto" picks pallas on TPU for grids >= 64k cells (the
+        measured crossover — PERFORMANCE.md records the curve) and is
+        exactly the XLA path below it or off-TPU.  pallas is
+        single-device (no mesh) and falls back to XLA on Mosaic failure
+        under "auto".
 
         collect: optional segment.COLLECT_TRANSFORMS key ("janus")
         applied per cell (both engines; kernel parity tested in
@@ -577,6 +580,10 @@ class isopleth(object):
             "density": self.data["density"].tolist(),
             "F.E./kT": self.data["F.E./kT"].tolist(),
         }
+        # TPU-native extra over gc_binary.pyx:478-497 (which only had the
+        # per-pixel console prints): persist the failure reasons too
+        if "fail_code" in self.data:
+            info["fail_code"] = np.asarray(self.data["fail_code"]).tolist()
         with open(fname, "w") as f:
             json.dump(info, f, sort_keys=True, indent=4)
 
@@ -589,6 +596,8 @@ class isopleth(object):
         self.data["Z"] = np.array(info["x_1"], dtype=np.float64)
         self.data["density"] = np.array(info["density"], dtype=np.float64)
         self.data["F.E./kT"] = np.array(info["F.E./kT"], dtype=np.float64)
+        if "fail_code" in info:
+            self.data["fail_code"] = np.array(info["fail_code"], dtype=np.int32)
         for k in ("Y", "Z", "density", "F.E./kT"):
             assert self.data["X"].shape == self.data[k].shape, "Shape mismatch in " + fname
 

@@ -97,6 +97,14 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
       n_phases     i64[S]         live watershed phases per state
       phase_ok     bool[S, P]     slot validity
       ridge_ok     bool[S]        no ridgeline effects in any live phase
+      fail_code    i32[S]         per-state failure reason (the class
+                                  path raises per state, pore_hist.py
+                                  "Cannot segment"/"ridgeline effects";
+                                  the batched sweep reports instead):
+                                  0 ok / 1 ridge-unsafe / 2 no peaks
+                                  found (segmentation empty) / 3 peak
+                                  slots saturated (more maxima than the
+                                  max_peaks+1 padding — raise max_peaks)
       lnpi         f64[S, H, N]   normalized surfaces
       labels       i32[S, H, N]   watershed labels
       local_maxima list[S] of i64[n_phases_s, 2] peak coordinates
@@ -158,9 +166,15 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     labels_b = np.zeros((SP, H, N), dtype=np.int32)
     n_labels = np.zeros(SP, dtype=np.int64)
     peak_lnpi = np.zeros((SP, P), dtype=np.float64)
+    peak_sat = np.zeros(SP, dtype=bool)
     local_maxima = []
     for s in range(SP):
-        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P, footprint=fp)
+        # probe one extra peak: truncation is a stable sorted slice, so
+        # lm[:P] is exactly the num_peaks=P answer while len==P+1 proves
+        # the padding saturated (fail_code 3)
+        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P + 1, footprint=fp)
+        peak_sat[s] = len(lm) > P
+        lm = lm[:P]
         local_maxima.append(lm)
         n_max = len(lm)
         n_labels[s] = n_max
@@ -178,6 +192,11 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
 
     ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)
     out["ridge_ok"] = np.all(ridge >= _PORE_CUTOFF, axis=1)
+    out["fail_code"] = np.select(
+        [peak_sat[:S], n_labels[:S] == 0, ~out["ridge_ok"]],
+        [np.int32(3), np.int32(2), np.int32(1)],
+        default=np.int32(0),
+    ).astype(np.int32)
     out["prop_names"] = prop_names
     out["n_phases"] = n_labels[:S]
     out["lnpi"] = lnpi_b[:S]

@@ -27,6 +27,8 @@ def _compare(srcs, beta_t, order, mu1_b, dmu2_b, delta):
     b = isopleth(srcs, beta_t, order=order)
     Zb, _ = b.make_grid(mu1_b, dmu2_b, delta, engine="pallas")
     np.testing.assert_array_equal(a.data["valid"], b.data["valid"])
+    np.testing.assert_array_equal(a.data["fail_code"], b.data["fail_code"])
+    np.testing.assert_array_equal(a.data["fail_code"] == 0, a.data["valid"].astype(bool))
     ok = a.data["valid"].astype(bool)
     assert ok.sum() > 0.3 * ok.size, "grid mostly invalid — comparison vacuous"
     for k in ("Z", "density", "F.E./kT"):
