@@ -312,6 +312,35 @@ def pore_surface_batch(lnpi_raw, h_vals, fh_vals, p_batch, A, beta_batch, valid)
     return jax.vmap(one)(jnp.asarray(p_batch), jnp.asarray(beta_batch))
 
 
+def joint_surface_batch(lnpi_raw, op1_vals, op2_vals, beta, dmu1_batch, dmu2_batch, valid):
+    """Stage-1 device batch for the joint (N_1, N_tot) GC surface: reweight
+    + masked-normalize S surfaces in one launch.
+
+    NEW capability beyond the reference (joint_hist.pyx:22-301 is
+    assembly+JSON only): the 2-D analog of the 1-D reweight rule
+    (gc_hist.pyx:377-406) for a binary system stored as lnPI(N_1, N_tot):
+
+        lnPI'(i, j) = lnPI(i, j) + beta * (dmu1 * N1[i] + dmu2 * N2[i, j])
+
+    with N2 = op2[j] - op1[i] (the species-2 count of the cell).  Invalid
+    cells stay -inf (mul of a finite delta cannot revive them under the
+    valid mask).  Returns (lnpi_b [S, H, N], x_b) with x the watershed
+    elevation input exactly as pore_surface_batch builds it.
+    """
+    lnpi_raw = jnp.asarray(lnpi_raw)
+    n1 = jnp.asarray(op1_vals)[:, None]  # [H, 1]
+    n2 = jnp.asarray(op2_vals)[None, :] - n1  # [H, N]
+
+    def one(dmu1, dmu2):
+        ln = jnp.where(valid, lnpi_raw + beta * (dmu1 * n1 + dmu2 * n2), -jnp.inf)
+        ln = normalize_2d(ln, valid)
+        mn = jnp.min(jnp.where(valid, ln, jnp.inf))
+        x = jnp.where(valid, ln - mn, 0.0)
+        return ln, x
+
+    return jax.vmap(one)(jnp.asarray(dmu1_batch), jnp.asarray(dmu2_batch))
+
+
 def pore_phase_batch(lnpi_b, labels_b, valid, edge_idx, props, peak_lnpi_b, n_labels_b, max_phases: int):
     """Stage-2 device batch: fused per-phase analysis over S states in
     one launch (vmap of pore_phase_core; labels from host watershed)."""

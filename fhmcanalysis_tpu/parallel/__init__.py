@@ -5,6 +5,7 @@ from .mesh import (
     shard_map_mu_sweep,
     sharded_make_grid,
     sharded_mu_beta_sweep,
+    sharded_joint_state_sweep,
     sharded_pore_state_sweep,
     sharded_trace_coexistence,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "shard_map_mu_sweep",
     "sharded_make_grid",
     "sharded_mu_beta_sweep",
+    "sharded_joint_state_sweep",
     "sharded_pore_state_sweep",
     "sharded_trace_coexistence",
     "sharded_normalize_2d",

@@ -31,6 +31,7 @@ __all__ = [
     "grid_mesh",
     "sharded_mu_beta_sweep",
     "sharded_make_grid",
+    "sharded_joint_state_sweep",
     "sharded_pore_state_sweep",
     "shard_map_mu_sweep",
     "sharded_trace_coexistence",
@@ -169,6 +170,18 @@ def sharded_pore_state_sweep(mesh: Mesh, joint_hist, fh, p_vals, beta_vals, A, n
     from ..two_dim.pore_pipeline import pore_state_sweep
 
     return pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh)
+
+
+def sharded_joint_state_sweep(mesh: Mesh, joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10):
+    """Joint (N_1, N_tot) GC state sweep sharded over the mesh: both
+    device stages of two_dim.joint_pipeline.joint_state_sweep run with
+    the (mu_1, mu_2) target axis S split across every mesh device, the
+    host watershed stage unchanged — same contract as
+    sharded_pore_state_sweep (no reference analog: joint_hist.pyx is
+    assembly+JSON only)."""
+    from ..two_dim.joint_pipeline import joint_state_sweep
+
+    return joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh)
 
 
 def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool = True):

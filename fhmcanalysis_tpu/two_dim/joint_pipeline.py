@@ -1,0 +1,163 @@
+"""Batched device pipeline over a joint (N_1, N_tot) GC surface.
+
+NEW capability beyond the reference: joint_hist.pyx (:22-301) only
+assembles and persists the 2-D surface — it has no thermo.  This module
+gives the assembled surface the same treatment the 1-D engines got
+(core/pipeline.py) and the slit-pore surface got (pore_pipeline.py): one
+device launch reweights + normalizes S (mu_1, mu_2) state points, a host
+watershed segments each surface (data-dependent flood order), and a
+second device launch integrates per-phase probability averages, free
+energies, and ridge diagnostics for all S states at once.
+
+Conventions (documented deviations, no upstream analog to mirror):
+  - reweight rule: lnPI'(i,j) = lnPI(i,j) + beta*(dmu1*N1[i] + dmu2*N2)
+    with N2 = op_2[j] - op_1[i] — the binary-system GC identity, the 2-D
+    form of gc_hist.pyx:377-406.
+  - F.E./kT per phase = ln_f - lse(lnPI | phase) with ln_f the logsumexp
+    of column op_2[0] (for a joint hist starting at N_tot = 0 this is
+    the empty-system reference, matching the 1-D lnPI[0] convention).
+  - the valid region is data-driven (isfinite of the assembled surface),
+    so interior holes from non-contiguous op_2 entries are excluded.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from ..core import segment2d as _s2d
+from .imaging import peak_local_max, watershed
+from .pore_pipeline import _footprint
+
+__all__ = ["joint_state_sweep"]
+
+_JIT = None
+
+
+def _jits():
+    global _JIT
+    if _JIT is None:
+        import jax
+
+        _JIT = {
+            "surface": jax.jit(_s2d.joint_surface_batch, static_argnames=()),
+            "phase": jax.jit(_s2d.pore_phase_batch, static_argnames="max_phases"),
+        }
+    return _JIT
+
+
+def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10, mesh=None):
+    """Phase analysis of lnPI(N_1, N_tot) over S chemical-potential targets.
+
+    Parameters
+    ----------
+    joint_hist : two_dim.joint_hist (made or unmade), rows = N_1 values,
+                 columns = N_tot values (op_2 must contain the N_1 range)
+    beta       : inverse temperature the surface was sampled at
+    mu_ref     : (mu_1, mu_2) of the sampled surface
+    mu_targets : f64[S, 2] absolute (mu_1, mu_2) targets
+    nnebr, max_peaks : segmentation knobs (pore_hist.phase_average
+                 semantics; the footprint scales with the surface shape)
+    mesh       : optional jax.sharding.Mesh — shards the S state axis for
+                 both device stages exactly as pore_state_sweep does.
+
+    Returns the pore_state_sweep dict schema (slot-padded, P =
+    max_peaks + 1): prop_names, ave [S,P,K], fe [S,P], act_kT,
+    act_kT_diff, n_phases, phase_ok, ridge_ok, fail_code, lnpi, labels,
+    local_maxima.
+    """
+    jh = copy.deepcopy(joint_hist)
+    if "ln(PI)" not in jh.data:
+        jh.make()
+    hd = jh.data
+
+    lnpi_raw = np.asarray(hd["ln(PI)"], dtype=np.float64)
+    H, N = lnpi_raw.shape
+    assert H > 1 and N > 1, (
+        "joint surface must span at least 2 N_1 values and 2 N_tot bins (got %d x %d)" % (H, N)
+    )
+    op1 = np.asarray(hd["op_1"], dtype=np.float64)
+    op2 = np.asarray(hd["op_2"], dtype=np.float64)
+    valid = np.isfinite(lnpi_raw)
+    edge_idx = np.array(hd["bounds_idx"][:, 1], dtype=int)
+
+    mu_targets = np.asarray(mu_targets, dtype=np.float64)
+    assert mu_targets.ndim == 2 and mu_targets.shape[1] == 2, "mu_targets must be [S, 2] (mu_1, mu_2)"
+    S = mu_targets.shape[0]
+    dmu1 = mu_targets[:, 0] - float(mu_ref[0])
+    dmu2 = mu_targets[:, 1] - float(mu_ref[1])
+
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad = (-S) % n_dev
+        if pad:
+            dmu1 = np.concatenate([dmu1, np.repeat(dmu1[-1:], pad)])
+            dmu2 = np.concatenate([dmu2, np.repeat(dmu2[-1:], pad)])
+
+    def _shard_states(*arrays):
+        if mesh is None:
+            return arrays
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as Psp
+
+        out = []
+        for a in arrays:
+            spec = Psp(mesh.axis_names, *([None] * (np.ndim(a) - 1)))
+            out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec)))
+        return tuple(out)
+
+    prop_names = list(hd["props"])
+    props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
+
+    # stage 1: all S reweighted surfaces in one launch
+    d1_dev, d2_dev = _shard_states(dmu1, dmu2)
+    lnpi_b, x_b = _jits()["surface"](lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid)
+    lnpi_b = np.asarray(lnpi_b)
+    x_b = np.asarray(x_b)
+
+    # host: data-dependent watershed per state (pore_pipeline stage 2)
+    SP = len(dmu1)
+    P = max_peaks + 1
+    fp = _footprint(H, N, nnebr)
+    labels_b = np.zeros((SP, H, N), dtype=np.int32)
+    n_labels = np.zeros(SP, dtype=np.int64)
+    peak_lnpi = np.zeros((SP, P), dtype=np.float64)
+    peak_sat = np.zeros(SP, dtype=bool)
+    local_maxima = []
+    for s in range(SP):
+        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P + 1, footprint=fp)
+        peak_sat[s] = len(lm) > P
+        lm = lm[:P]
+        local_maxima.append(lm)
+        n_max = len(lm)
+        n_labels[s] = n_max
+        markers = np.zeros((H, N), dtype=int)
+        for i in range(n_max):
+            markers[lm[i][0], lm[i][1]] = i + 1
+        labels_b[s] = watershed(-x_b[s], markers=markers, mask=valid, connectivity=fp)
+        if n_max:
+            peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
+
+    # stage 2: fused per-phase integration of all S states in one launch
+    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_b, labels_b, peak_lnpi, n_labels)
+    core = _jits()["phase"](lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev, max_phases=P)
+    out = {k: np.asarray(v)[:S] for k, v in core.items()}
+
+    from .pore_pipeline import _PORE_CUTOFF
+
+    ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)
+    out["ridge_ok"] = np.all(ridge >= _PORE_CUTOFF, axis=1)
+    out["fail_code"] = np.select(
+        [peak_sat[:S], n_labels[:S] == 0, ~out["ridge_ok"]],
+        [np.int32(3), np.int32(2), np.int32(1)],
+        default=np.int32(0),
+    ).astype(np.int32)
+    out["prop_names"] = prop_names
+    out["n_phases"] = n_labels[:S]
+    out["lnpi"] = lnpi_b[:S]
+    out["labels"] = labels_b[:S]
+    out["local_maxima"] = local_maxima[:S]
+    return out
