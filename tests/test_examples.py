@@ -19,6 +19,7 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
         "multivariable_extrapolation.py",
         "combining_simulations.py",
         "mutual_diffusion.py",
+        "joint_binary_surface.py",
     ],
 )
 def test_example_runs(script):
