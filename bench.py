@@ -617,7 +617,10 @@ def main():
     # Same headline pipeline on the 573-bin composite: records how the
     # padding/stencil scheme scales with N (the fixture above is N=31).
     _stage("N573 sweep")
-    B573 = 4096 if quick else 262_144
+    # 524k amortizes the fixed ~30 ms RPC further (the 262k kernel call
+    # was ~93 ms warm); the kernel streams VMEM blocks so B is HBM-cheap,
+    # and the XLA reference path chunks at 65k either way
+    B573 = 4096 if quick else 524_288
     sw_lo, sw_hi = -4.4, -3.6
     mus573 = jax.numpy.linspace(sw_lo, sw_hi, B573)
     sweep573 = lambda mus, **kw: P.mu_sweep_thermo(hh573, meta573, mus, props=True, **kw)  # noqa: E731
@@ -705,12 +708,12 @@ def main():
     # ---------------- (mu, beta, dMu) joint Taylor sweeps ----------------
     h2 = _trimmed_mb_hist(histogram)
     hh2, meta2 = h2._hist(), h2._meta(max_phases=4)
-    # 65536x32 = 2.1M points: the kernel engine scales with batch where
+    # 65536x64 = 4.2M points: the kernel engine scales with batch where
     # the old XLA path could not (measured 2026-08-17 same-run: o1
     # 6.4M pts/s at 262k -> 19.6M at 2.1M -> 21.7M at 4.2M; the 262k
     # call was ~70% fixed tunnel RPC).  The old 8192x32 comment about
     # HBM pressure applied to the XLA engine's [B,N] buffers only.
-    M, A = (64, 8) if quick else (65536, 32)
+    M, A = (64, 8) if quick else (65536, 64)
     mb_mus = np.linspace(mu_lo, mu_hi, M)
     mb_betas = np.linspace(0.92, 1.08, A)
     mb_dmus = np.linspace(-5.5, -4.5, A)[:, None]
