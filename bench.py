@@ -37,6 +37,11 @@ cheapest sweep):
                                      numpy denominator costs ~1 s/state —
                                      this ratio measures compute
                                      (VERDICT r2 item 3)
+  joint_gc_states_per_sec            joint (N1, Ntot) GC sweep on a 96x385
+                                     surface, S=64 (mu1, mu2) targets
+                                     (TPU-native capability; vs_baseline
+                                     = speedup over the per-state numpy
+                                     path timed in the oracle)
   mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
   mu_beta_extrap_o2_points_per_sec   same at order 2
   isopleth_grid_cells_per_sec        binary isopleth make_grid surface (XLA
@@ -143,6 +148,85 @@ def _pore_states_prod(S):
     ps = np.linspace(0.0, 0.02, S)
     betas = np.linspace(0.92, 1.08, S)[::-1].copy()
     return ps, betas
+
+
+JOINT_BETA = 1.1
+JOINT_MU_REF = (0.2, -0.3)
+
+
+def _joint_prod(H=96, N=385):
+    """Production-scale joint lnPI(N_1, N_tot) surface for the GC sweep
+    bench (two_dim.joint_state_sweep — TPU-native capability; the
+    reference's joint module is assembly+JSON only, joint_hist.pyx:22-301).
+    Two basins: a small vapor-like one and a species-1-rich liquid-like
+    one, ragged rows N_tot >= N_1."""
+    from fhmcanalysis_tpu.two_dim import joint_hist
+
+    jh = joint_hist()
+    n_v, n_l = 0.16 * (N - 1), 0.72 * (N - 1)
+    h_v, h_l = 0.08 * H, 0.33 * H
+    wn = (0.1 * (N - 1)) ** 2
+    wh = (0.12 * H) ** 2
+    for i in range(H):
+        nt = np.arange(i, N, dtype=float)
+        vap = 30.0 * np.exp(-((i - h_v) ** 2) / wh) * np.exp(-((nt - n_v) ** 2) / wn)
+        liq = 33.0 * np.exp(-((i - h_l) ** 2) / wh) * np.exp(-((nt - n_l) ** 2) / wn)
+        # tilt BOTH axes (a far field flat along N_1 reads as a plateau of
+        # equal-valued cells, every one a footprint local maximum) and
+        # wall off the pure-species-1 diagonal N_2 = 0.  BOTH tilts must
+        # dominate the largest reweight slope (beta*max(dmu_1) = 0.22/cell
+        # in N_1, beta*max|dmu_2| = 0.055/cell in N_tot) or the largest
+        # targets grow artificial maxima on the truncation boundaries
+        # (row i=H-1 / row 0's N_tot edge), which the ridge guard flags
+        lnpi = vap + liq - 0.08 * nt - 0.3 * i - 8.0 * np.exp(-(nt - i) / 4.0)
+        jh.enter(float(i), lnpi, nt.astype(int), {"N_tot": nt, "N_1": np.full(nt.shape, float(i)), "U": -0.4 * nt})
+    return jh
+
+
+def _joint_states(S):
+    """S (mu_1, mu_2) targets inside the clean two-basin window."""
+    return np.stack([np.linspace(0.1, 0.4, S), np.linspace(-0.35, -0.25, S)], axis=1)
+
+
+def _joint_numpy_state(jh_made, beta, mu_ref, mu_t, nnebr, max_peaks):
+    """Per-state numpy reference: reweight + normalize + watershed +
+    per-phase integrals with plain numpy (the what-you-would-write-
+    without-the-framework path; shares only the host watershed helpers
+    the device pipeline also uses)."""
+    from fhmcanalysis_tpu.two_dim.imaging import peak_local_max, watershed
+    from fhmcanalysis_tpu.two_dim.pore_pipeline import _footprint
+
+    hd = jh_made.data
+    lnpi_raw = np.asarray(hd["ln(PI)"], dtype=np.float64)
+    H, N = lnpi_raw.shape
+    valid = np.isfinite(lnpi_raw)
+    n1 = np.asarray(hd["op_1"])[:, None]
+    n2 = np.asarray(hd["op_2"])[None, :] - n1
+    x = np.where(valid, lnpi_raw + beta * ((mu_t[0] - mu_ref[0]) * n1 + (mu_t[1] - mu_ref[1]) * n2), -np.inf)
+    m = x[valid].max()
+    lnpi = x - (m + np.log(np.sum(np.exp(x[valid] - m))))
+    elev = np.where(valid, lnpi - lnpi[valid].min(), 0.0)
+    P = max_peaks + 1
+    fp = _footprint(H, N, nnebr)
+    lm = peak_local_max(elev, min_distance=nnebr, exclude_border=0, num_peaks=P, footprint=fp)
+    markers = np.zeros((H, N), dtype=int)
+    for i in range(len(lm)):
+        markers[lm[i][0], lm[i][1]] = i + 1
+    labels = watershed(-elev, markers=markers, mask=valid, connectivity=fp)
+    col0 = lnpi[:, 0]
+    fin = np.isfinite(col0)
+    m0 = col0[fin].max()
+    lnf = m0 + np.log(np.sum(np.exp(col0[fin] - m0)))
+    fe, ntot = [], []
+    surf_nt = np.asarray(hd["props"]["N_tot"], dtype=np.float64)
+    for p in range(len(lm)):
+        vals = lnpi[labels == (p + 1)]
+        mp = vals.max()
+        lse = mp + np.log(np.sum(np.exp(vals - mp)))
+        fe.append(lnf - lse)
+        prob = np.exp(vals - mp)
+        ntot.append(float(np.sum(prob * surf_nt[labels == (p + 1)]) / prob.sum()))
+    return {"n_phases": len(lm), "fe": fe, "ntot": ntot}
 
 
 _T0 = time.time()
@@ -283,7 +367,21 @@ def _oracle_main():
         "pore_host_secs": 0.0,
         "pore2": [],
         "pore2_host_secs": 0.0,
+        "joint": [],
+        "joint_host_secs": 0.0,
     }
+
+    # -------- joint (N1, Ntot) GC sweep: numpy per-state path -----------
+    if spec.get("joint_idx"):
+        jh_j = _joint_prod(*spec["joint_shape"])
+        jh_j.make()
+        tgt = _joint_states(int(spec["joint_S"]))
+        t0 = time.perf_counter()
+        for s in spec["joint_idx"]:
+            out["joint"].append(
+                _joint_numpy_state(jh_j, JOINT_BETA, JOINT_MU_REF, tgt[s], nnebr=1, max_peaks=4)
+            )
+        out["joint_host_secs"] = time.perf_counter() - t0
 
     # -------- production N=573 square-well composite --------------------
     if spec.get("sw_mus") or spec.get("coex_betas"):
@@ -506,6 +604,9 @@ def main():
         "pore2_idx": [],
         "pore2_S": 0,
         "pore2_shape": [96, 385],
+        "joint_idx": [],
+        "joint_S": 0,
+        "joint_shape": [96, 385],
     }
 
     # ---------------- congestion sentinel (VERDICT r1 item 9) -----------
@@ -787,6 +888,41 @@ def main():
             iso_big = None
             sys.stderr.write("pallas isopleth grid skipped: %r\n" % (e,))
 
+    # ---------------- joint (N1, Ntot) GC sweep --------------------------
+    # The TPU-native capability the reference's joint module lacks
+    # (joint_hist.pyx is assembly+JSON only): S (mu1, mu2) targets over a
+    # production-scale 96x385 surface, two device launches + the shared
+    # host watershed; vs_baseline = speedup over the per-state numpy path
+    # timed in the oracle.  Optional like the iso kernel stage: a failure
+    # here (new-capability metric) must not sink the rest of the artifact.
+    _stage("joint GC sweep")
+    jo = None
+    joint_secs = None
+    joint_idx = []
+    try:
+        from fhmcanalysis_tpu.two_dim import joint_state_sweep
+
+        HJ, NJ = (24, 97) if quick else (96, 385)
+        SJ = 4 if quick else 64
+        jh_joint = _joint_prod(HJ, NJ)
+        jt = _joint_states(SJ)
+        jf = lambda: joint_state_sweep(jh_joint, JOINT_BETA, JOINT_MU_REF, jt, nnebr=1, max_peaks=4)  # noqa: E731
+        jo = jf()
+        n_rep = 1 if quick else 2
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            jo = jf()
+        joint_secs = (time.perf_counter() - t0) / n_rep
+        assert (np.asarray(jo["fail_code"]) == 0).all(), "joint bench states must all segment cleanly"
+        FALLBACK["joint"] = ("joint_gc_states_per_sec", SJ / joint_secs, "states/s", 1.0)
+        joint_idx = [0, SJ - 1] if quick else [0, SJ // 4, SJ // 2, SJ - 1]
+        spec["joint_shape"] = [HJ, NJ]
+        spec["joint_idx"] = [int(i) for i in joint_idx]
+        spec["joint_S"] = SJ
+    except Exception as e:
+        jo = None
+        sys.stderr.write("joint GC sweep skipped: %r\n" % (e,))
+
     # ---------------- headline timing ------------------------------------
     # (the CPU oracle grinds its 1k-point host loop concurrently)
     _stage("headline timing")
@@ -904,6 +1040,19 @@ def main():
                 worst = max(worst, abs(float(p_out["ave"][s, ph, pore_names.index("N_tot")]) - r["ntot"][ph]))
         _gate(tag, worst)
 
+    # joint GC sweep vs the per-state numpy path
+    if jo is not None:
+        worst = 0.0
+        jnames = list(jo["prop_names"])
+        j_nt = jnames.index("N_tot")
+        for k, s in enumerate(joint_idx):
+            r = ref["joint"][k]
+            assert int(jo["n_phases"][s]) == r["n_phases"], "joint phase count mismatch at state %d" % s
+            for ph in range(r["n_phases"]):
+                worst = max(worst, abs(float(jo["fe"][s, ph]) - r["fe"][ph]))
+                worst = max(worst, abs(float(jo["ave"][s, ph, j_nt]) - r["ntot"][ph]))
+        _gate("joint", worst)
+
     # ---------------- report ---------------------------------------------
     for vm in variant_metrics:
         _emit(*vm)
@@ -917,6 +1066,10 @@ def main():
     host_pore2 = len(pore2_idx) / ref["pore2_host_secs"] if ref["pore2_host_secs"] > 0 else 0.0
     dev_pore2 = S2 / pore2_secs
     _emit("pore_production_states_per_sec", dev_pore2, "states/s", dev_pore2 / host_pore2 if host_pore2 else 0.0)
+    if jo is not None:
+        host_joint = len(joint_idx) / ref["joint_host_secs"] if ref["joint_host_secs"] > 0 else 0.0
+        dev_joint = SJ / joint_secs
+        _emit("joint_gc_states_per_sec", dev_joint, "states/s", dev_joint / host_joint if host_joint else 0.0)
     if big_secs is not None:
         _emit("reweight_thermo_8M_points_per_sec", 8 * 1024 * 1024 / big_secs, "points/s", 8 * 1024 * 1024 / big_secs / TARGET)
     _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)
