@@ -174,3 +174,31 @@ def test_randomized_structures_parity(fixture_hist, rng):
                 wa = np.where(ok, np.asarray(want[k]), 0.0)
                 d = np.max(np.abs(ga - wa))
                 assert d < 1e-9, (k, smooth, case, d)
+
+
+def test_oversized_composite_guard(fixture_hist):
+    """NPAD > 1024 exceeds the kernels' scoped-VMEM working set at the
+    minimum 128-lane block: default_block must raise a clear error,
+    kernel_supported must steer auto dispatch to XLA (ADVICE r2)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fhmcanalysis_tpu.core import pipeline as P
+    from fhmcanalysis_tpu.core.pallas_sweep import default_block, kernel_supported
+
+    assert kernel_supported(31) and kernel_supported(573) and kernel_supported(1024)
+    assert not kernel_supported(1025) and not kernel_supported(2048)
+    assert default_block(573) == 128
+    with pytest.raises(ValueError, match="too large for the pallas kernels"):
+        default_block(1025)
+
+    # auto dispatch on an oversized composite must fall through to the
+    # XLA engine without touching the kernel (no warning, no memo poison)
+    hh, meta = fixture_hist
+    n_big = 1536
+    lnpi = jnp.concatenate([hh.lnpi, jnp.full((n_big - hh.lnpi.shape[-1],), -500.0)])
+    op = jnp.arange(n_big, dtype=hh.op.dtype)
+    mom = jnp.concatenate([hh.mom] + [hh.mom[..., -1:]] * (n_big - hh.mom.shape[-1]), axis=-1)
+    h_big = hh.replace(lnpi=lnpi, op=op, mom=mom)
+    out = P.mu_sweep_thermo(h_big, meta, jnp.linspace(-2.0, 7.0, 4), props=True, engine="auto")
+    assert bool(jnp.all(out["valid"]))
