@@ -94,6 +94,31 @@ def test_zero_delta_is_identity():
     np.testing.assert_allclose(out["lnpi"][0][valid], want[valid], rtol=0, atol=1e-11)
 
 
+def test_interior_holes_excluded():
+    """Non-contiguous op_2 entries leave -inf holes inside rows; the
+    data-driven valid mask must exclude them from normalization, the
+    watershed domain, and the per-phase integrals."""
+    jh = _two_basin_joint()
+    # punch a hole: rebuild row N_1=5 without N_tot in [10, 12]
+    e = jh.data["entries"][5.0]
+    keep = ~np.isin(e.data["op_vals"], [10.0, 11.0, 12.0])
+    nt = e.data["op_vals"][keep]
+    jh.enter(
+        5.0,
+        e.data["ln(PI)"][keep],
+        nt.astype(int),
+        {k: v[keep] for k, v in e.data["props"].items()},
+    )
+    jh.make()
+    assert not np.isfinite(jh.data["ln(PI)"][5, 10:13]).any()
+    out = joint_state_sweep(jh, BETA, MU_REF, np.array([[0.2, -0.3]]), nnebr=1, max_peaks=4)
+    assert int(out["n_phases"][0]) == 2
+    assert (out["labels"][0][5, 10:13] == 0).all(), "hole cells must stay background"
+    # oracle re-check on the holed surface
+    want, valid = _oracle_surface(jh, BETA, MU_REF, (0.2, -0.3))
+    np.testing.assert_allclose(out["lnpi"][0][valid], want[valid], rtol=0, atol=1e-11)
+
+
 def test_sharded_matches_single_device():
     """sharded_joint_state_sweep on the virtual 8-CPU mesh is bitwise
     equal to the single-device sweep (S=5 exercises the pad+trim path)."""
