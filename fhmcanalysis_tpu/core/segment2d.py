@@ -36,6 +36,13 @@ __all__ = [
 
 _BIGNEG = -1.7976931348623157e308  # -sys.float_info.max (pore_hist.pyx:40)
 
+# boundary_pair_integrals reduction engine: "segment" (jax.ops.segment_*,
+# scatter lowering) or "onehot" (scatter/gather-free masked reductions —
+# same shifted terms, so equal up to summation order; tests pin 1e-12).
+# Flip for on-chip A/B; the winner should become the sole implementation
+# once measured.
+BOUNDARY_SEGMENT_ENGINE = "segment"
+
 
 def _masked_max(x, mask):
     return jnp.max(jnp.where(mask, x, -jnp.inf))
@@ -168,16 +175,37 @@ def boundary_pair_integrals(lnpi, labels, max_labels: int):
     nseg = L1 * L1 + 1
     vals = jnp.where(valid, vals, -jnp.inf)
 
-    # two-pass segment logsumexp: max-shift per pair, then sum of exp
-    seg_max = jax.ops.segment_max(vals, keys, num_segments=nseg)
-    seg_max_f = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    shifted = jnp.where(valid, jnp.exp(vals - seg_max_f[keys]), 0.0)
-    seg_sum = jax.ops.segment_sum(shifted, keys, num_segments=nseg)
-    lse = jnp.where(seg_sum > 0.0, seg_max_f + jnp.log(seg_sum), _BIGNEG)
-    mx = jnp.where(jnp.isfinite(seg_max), seg_max, _BIGNEG)
+    if BOUNDARY_SEGMENT_ENGINE == "onehot":
+        # scatter/gather-free per-pair logsumexp: segment_max/segment_sum
+        # lower to TPU scatters (serialized like the gathers of
+        # PERFORMANCE.md rule 1) and seg_max_f[keys] is a dynamic gather;
+        # with only (P+1)^2+1 segments, [nseg, K] masked reductions are
+        # three fused VPU passes instead.  exp stays one [K] pass: each
+        # element reads its own segment's max back through the same mask
+        # (a multiply-add contraction, not a gather).
+        seg_ids = jnp.arange(nseg, dtype=keys.dtype)
+        onehot = keys[None, :] == seg_ids[:-1, None]  # [nseg-1, K]; overflow slot dropped
+        neg = jnp.array(-jnp.inf, vals.dtype)
+        seg_max = jnp.max(jnp.where(onehot, vals[None, :], neg), axis=1)  # [nseg-1]
+        seg_max_f = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        m_elem = jnp.sum(jnp.where(onehot, seg_max_f[:, None], 0.0), axis=0)  # [K]
+        shifted = jnp.where(valid, jnp.exp(vals - m_elem), 0.0)
+        seg_sum = jnp.sum(jnp.where(onehot, shifted[None, :], 0.0), axis=1)  # [nseg-1]
+        lse_body = jnp.where(seg_sum > 0.0, seg_max_f + jnp.log(seg_sum), _BIGNEG)
+        mx_body = jnp.where(jnp.isfinite(seg_max), seg_max, _BIGNEG)
+        min_df = lse_body[: L1 * L1].reshape(L1, L1)
+        max_val = mx_body[: L1 * L1].reshape(L1, L1)
+    else:
+        # two-pass segment logsumexp: max-shift per pair, then sum of exp
+        seg_max = jax.ops.segment_max(vals, keys, num_segments=nseg)
+        seg_max_f = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        shifted = jnp.where(valid, jnp.exp(vals - seg_max_f[keys]), 0.0)
+        seg_sum = jax.ops.segment_sum(shifted, keys, num_segments=nseg)
+        lse = jnp.where(seg_sum > 0.0, seg_max_f + jnp.log(seg_sum), _BIGNEG)
+        mx = jnp.where(jnp.isfinite(seg_max), seg_max, _BIGNEG)
+        min_df = lse[: L1 * L1].reshape(L1, L1)
+        max_val = mx[: L1 * L1].reshape(L1, L1)
 
-    min_df = lse[: L1 * L1].reshape(L1, L1)
-    max_val = mx[: L1 * L1].reshape(L1, L1)
     # symmetrize (each unordered pair was accumulated into the canonical
     # (min, max) slot only)
     upper = jnp.triu(jnp.ones((L1, L1), dtype=bool), 1)

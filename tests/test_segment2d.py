@@ -173,3 +173,35 @@ class TestPhaseAverage:
         # random ragged surfaces legitimately raise ridgeline errors in
         # BOTH engines often; require at least one fully-compared case
         assert n_ok >= 1
+
+
+def test_boundary_engines_agree():
+    """The scatter-free one-hot reduction must match the segment-op
+    engine on real watershed label maps (same shifted terms; only the
+    summation order differs)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from fhmcanalysis_tpu.core import segment2d as s2d
+
+    rng = np.random.default_rng(11)
+    H, N = 17, 29
+    lnpi = jnp.asarray(np.cumsum(rng.standard_normal((H, N)), axis=1))
+    labels = np.zeros((H, N), dtype=np.int32)
+    labels[:, : N // 3] = 1
+    labels[:, N // 3 : 2 * N // 3] = 2
+    labels[: H // 2, 2 * N // 3 :] = 3
+    labels[H // 2 :, 2 * N // 3 :] = 0  # background region keeps pairs sparse
+    labels = jnp.asarray(labels)
+    try:
+        s2d.BOUNDARY_SEGMENT_ENGINE = "segment"
+        a_df, a_mx = s2d.boundary_pair_integrals(lnpi, labels, max_labels=5)
+        s2d.BOUNDARY_SEGMENT_ENGINE = "onehot"
+        b_df, b_mx = s2d.boundary_pair_integrals(lnpi, labels, max_labels=5)
+    finally:
+        s2d.BOUNDARY_SEGMENT_ENGINE = "segment"
+    np.testing.assert_array_equal(np.asarray(a_mx), np.asarray(b_mx))
+    np.testing.assert_allclose(np.asarray(a_df), np.asarray(b_df), rtol=0, atol=1e-12)
+    live = np.asarray(a_df) > s2d._BIGNEG
+    assert live.any(), "test labels produced no shared boundaries"
