@@ -1,7 +1,8 @@
 #!/bin/bash
 # Round-3 on-chip measurement chain: run when the tunnel is up.
-# Order: bench (artifact numbers) -> iso crossover curve -> on-chip tests.
-# Each stage logs to /tmp/r3_*.log; the chain continues past failures.
+# Order: bench (artifact numbers) -> iso crossover curve -> on-chip tests
+# -> boundary-engine A/B.  Each stage logs to /tmp/r3_*.log; the chain
+# continues past failures.
 set -u
 cd /root/repo
 
@@ -19,4 +20,9 @@ echo "=== tests_tpu ($(date +%T)) ==="
 timeout 3000 python -m pytest -m tpu tests_tpu/ -q > /tmp/r3_tpu_tests.log 2>&1
 echo "tests rc=$?"
 tail -3 /tmp/r3_tpu_tests.log
+
+echo "=== boundary A/B ($(date +%T)) ==="
+timeout 1800 python tools/boundary_ab.py > /tmp/r3_boundary_ab.json 2> /tmp/r3_boundary_ab.log
+echo "ab rc=$?"
+cat /tmp/r3_boundary_ab.json
 echo "=== done ($(date +%T)) ==="
