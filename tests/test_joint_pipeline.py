@@ -138,6 +138,27 @@ def test_sharded_matches_single_device():
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
 
 
+def test_bench_oracle_agrees_with_pipeline():
+    """bench.py's independent numpy reference path (_joint_numpy_state)
+    must track the device pipeline on the bench's own production surface
+    — this is the parity gate the driver bench applies on chip."""
+    import bench
+
+    jh = bench._joint_prod(24, 97)
+    jt = bench._joint_states(4)
+    out = joint_state_sweep(jh, bench.JOINT_BETA, bench.JOINT_MU_REF, jt, nnebr=1, max_peaks=4)
+    assert (out["fail_code"] == 0).all()
+    jh.make()
+    names = out["prop_names"]
+    j_nt = names.index("N_tot")
+    for s in range(4):
+        r = bench._joint_numpy_state(jh, bench.JOINT_BETA, bench.JOINT_MU_REF, jt[s], 1, 4)
+        assert int(out["n_phases"][s]) == r["n_phases"]
+        for ph in range(r["n_phases"]):
+            assert abs(float(out["fe"][s, ph]) - r["fe"][ph]) < 1e-11, (s, ph)
+            assert abs(float(out["ave"][s, ph, j_nt]) - r["ntot"][ph]) < 1e-11, (s, ph)
+
+
 def test_mu_shift_moves_stability():
     """Raising mu_1 + mu_2 must stabilize the liquid-like basin: the
     high-N_tot phase's F.E. falls relative to the vapor's."""
