@@ -860,17 +860,19 @@ def main():
     spec["iso_cells"] = [[float(Xiso[i, j]), float(Yiso[i, j])] for i, j in zip(ci, cj)]
 
     # ---------------- Pallas isopleth kernel (VERDICT r1 item 3) ---------
-    # ~91k cells clears the auto threshold (isopleth.py: >= 65536 cells ->
-    # the core/pallas_iso.py cell kernel).  Runs BEFORE the oracle starts
+    # ~252k cells clears the auto threshold (isopleth.py: >= 131072 cells
+    # -> the core/pallas_iso.py cell kernel; the tools/iso_crossover.py
+    # curve puts the warm-vs-warm crossover near ~130k cells and the
+    # kernel at 1.57x XLA by 252k).  Runs BEFORE the oracle starts
     # so its sampled cells ride the same per-cell host gate as the small
     # grid (the previous subsample-vs-small-grid cross-gate was broken:
     # ceil grid arithmetic gives ny 92 vs 182, whose lattices never nest).
     iso_big = None
     n_iso_small = len(spec["iso_cells"])
     if not quick:
-        _stage("isopleth pallas (91k cells)")
+        _stage("isopleth pallas (252k cells)")
         try:
-            delta_big = (0.01, 0.005)  # 501 x 182 ~ 91k cells
+            delta_big = (0.006, 0.003)  # 834 x 301 ~ 252k cells
             iso2 = isopleth(srcs, spec["iso_beta"], order=spec["iso_order"])
             iso2.make_grid(mu1_b, dmu2_b, delta_big, engine="auto")
             big_cells = iso2.data["X"].size

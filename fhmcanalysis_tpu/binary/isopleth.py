@@ -322,14 +322,14 @@ class isopleth(object):
 
         engine: "auto" (default), "xla", or "pallas"
         (core/pallas_iso.py, the fused double-single cell kernel).
-        Honest warm-vs-warm on v5e: XLA 63k cells/s vs pallas 27k at 23k
-        cells, 106k vs 120k at 91k cells — the batched XLA path wins
-        small grids (kernel fixed per-lane cost), pallas edges ahead at
-        scale; "auto" picks pallas on TPU for grids >= 64k cells (the
-        measured crossover — PERFORMANCE.md records the curve) and is
-        exactly the XLA path below it or off-TPU.  pallas is
-        single-device (no mesh) and falls back to XLA on Mosaic failure
-        under "auto".
+        Single-session warm-vs-warm curve on v5e (tools/iso_crossover.py,
+        2026-08-18): XLA 15.6k/52k/96k/133k cells/s at 5.9k/23k/91k/252k
+        cells vs pallas 5.3k/19k/81k/209k — the kernel's warm call is
+        near-flat (~1.1-1.2 s) so the batched XLA path wins small grids
+        and the kernel takes over near ~130k cells; "auto" picks pallas
+        on TPU for grids >= 128k cells and is exactly the XLA path below
+        it or off-TPU.  pallas is single-device (no mesh) and falls back
+        to XLA on Mosaic failure under "auto".
 
         collect: optional segment.COLLECT_TRANSFORMS key ("janus")
         applied per cell (both engines; kernel parity tested in
@@ -353,7 +353,7 @@ class isopleth(object):
         use_pallas = engine == "pallas"
         if use_pallas and collect not in (None, "janus"):
             raise NotImplementedError("the pallas isopleth kernel implements only the 'janus' collect; use engine='xla' or 'auto'")
-        if engine == "auto" and mesh is None and self.data["X"].size >= 65536 and collect in (None, "janus"):
+        if engine == "auto" and mesh is None and self.data["X"].size >= 131072 and collect in (None, "janus"):
             from ..core.pallas_sweep import kernel_supported
             from ..core.pipeline import _PALLAS_OK
 
