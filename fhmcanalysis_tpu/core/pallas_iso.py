@@ -278,34 +278,38 @@ def _kernel(lf_ref, li_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, o
     out_i_ref[0] = i
 
 
-def _lanes(mu1_v, dmu2_v, lr, wts, block):
-    NY, NX = len(dmu2_v), len(mu1_v)
+def _lanes(mu1_v, dmu2_v, lr, wts, block, nb):
+    """Flatten the (dmu2, mu1) cell product to padded [nb, rows, block]
+    lane arrays.  Pure jnp so it traces into the end-to-end jit of
+    _iso_ds_pallas (one device launch) and runs eagerly for the XLA
+    reference path; nb is the static block count -(-NY*NX // block)."""
+    mu1_v = jnp.asarray(mu1_v)
+    dmu2_v = jnp.asarray(dmu2_v)
+    lr = jnp.asarray(lr)
+    wts = jnp.asarray(wts)
+    NY, NX = dmu2_v.shape[0], mu1_v.shape[0]
     B = NY * NX
-    mu1 = jnp.asarray(np.broadcast_to(np.asarray(mu1_v)[None, :], (NY, NX)).reshape(-1))
-    dmu2 = jnp.asarray(np.broadcast_to(np.asarray(dmu2_v)[:, None], (NY, NX)).reshape(-1))
-    w0 = jnp.asarray(np.broadcast_to(np.asarray(wts)[:, 0:1], (NY, NX)).reshape(-1))
-    w1 = jnp.asarray(np.broadcast_to(np.asarray(wts)[:, 1:2], (NY, NX)).reshape(-1))
-    iL = np.broadcast_to(np.asarray(lr)[:, 0:1], (NY, NX)).reshape(-1).astype(np.int32)
-    iR = np.broadcast_to(np.asarray(lr)[:, 1:2], (NY, NX)).reshape(-1).astype(np.int32)
+    mu1 = jnp.broadcast_to(mu1_v[None, :], (NY, NX)).reshape(-1)
+    dmu2 = jnp.broadcast_to(dmu2_v[:, None], (NY, NX)).reshape(-1)
+    w0 = jnp.broadcast_to(wts[:, 0:1], (NY, NX)).reshape(-1)
+    w1 = jnp.broadcast_to(wts[:, 1:2], (NY, NX)).reshape(-1)
+    iL = jnp.broadcast_to(lr[:, 0:1], (NY, NX)).reshape(-1).astype(jnp.int32)
+    iR = jnp.broadcast_to(lr[:, 1:2], (NY, NX)).reshape(-1).astype(jnp.int32)
 
-    nb = -(-B // block)
-
-    def prep(v, pad_val=None):
+    def prep(v):
         if nb * block != B:
-            fill = v[-1:] if pad_val is None else pad_val
-            v = jnp.concatenate([jnp.asarray(v), jnp.broadcast_to(jnp.asarray(fill), (nb * block - B,))])
-        return jnp.asarray(v).reshape(nb, 1, block)
+            v = jnp.concatenate([v, jnp.broadcast_to(v[-1:], (nb * block - B,))])
+        return v.reshape(nb, 1, block)
 
     frows = []
     for v in (mu1, dmu2, w0, w1):
         vh, vl = ds.split_f64(prep(v))
         frows += [vh, vl]
     lf = jnp.concatenate(frows, axis=1)
-    li = jnp.concatenate([prep(jnp.asarray(iL)), prep(jnp.asarray(iR))], axis=1).astype(jnp.int32)
-    return lf, li, B, nb, NY, NX
+    li = jnp.concatenate([prep(iL), prep(iR)], axis=1).astype(jnp.int32)
+    return lf, li
 
 
-@partial(jax.jit, static_argnames=("N", "smooth", "P", "S", "order", "cutoff", "W", "block", "nb", "interpret", "collect"))
 def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret, collect=None):
     NRF, NRI = 6, 2
     import sys
@@ -336,13 +340,23 @@ def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret
     return out_f, out_i
 
 
-def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, interpret, collect=None):
+@partial(jax.jit, static_argnames=("metas", "order", "cutoff", "block", "nb", "interpret", "collect"))
+def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, nb, interpret, collect=None):
+    """End-to-end jitted kernel path: const packing (DerivEngine key/sg
+    rows), lane prep, the pallas_call, and the f64 joins all trace into
+    ONE device launch — mirroring pallas_mb._mb_ds_pallas.  The pre-jit
+    version ran _iso_const/_lanes eagerly, and their hundreds of small
+    ops cost a flat ~1.1 s/call through the TPU tunnel (the 2026-08-18
+    crossover curve: kernel warm time was launch-bound and flat from
+    5.9k to 252k cells)."""
     meta = metas[0]
     P, S = meta.max_phases, meta.nspec
     N = sources[0].lnpi.shape[-1]
     NPAD = _npad(N)
     W = len(sources)
-    lf, li, B, nb, NY, NX = _lanes(mu1_v, dmu2_v, lr, wts, block)
+    NY, NX = dmu2_v.shape[0], mu1_v.shape[0]
+    B = NY * NX
+    lf, li = _lanes(mu1_v, dmu2_v, lr, wts, block, nb)
     cst = _iso_const(sources, metas, NPAD, order, beta_target)
     out_f, out_i = _launch(lf, li, cst, N, meta.smooth, P, S, order, cutoff, W, block, nb, interpret, collect)
     out_f = out_f[:, :B]
@@ -362,9 +376,9 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     N = sources[0].lnpi.shape[-1]
     NPAD = _npad(N)
     W = len(sources)
-    B = len(mu1_v) * len(dmu2_v)
-    lf, li, B2, nb, NY, NX = _lanes(mu1_v, dmu2_v, lr, wts, block=B)
-    assert nb == 1
+    NY, NX = len(dmu2_v), len(mu1_v)
+    B = NY * NX
+    lf, li = _lanes(mu1_v, dmu2_v, lr, wts, block=B, nb=1)
     cst = _iso_const(sources, metas, NPAD, order, beta_target)
     srcs, shared = _iso_unpack(cst, N, S, order, W)
     f, i = iso_block_lanes(lf[0], li[0], srcs, shared, N, meta.smooth, P, S, order, cutoff, barriers=True, collect=collect)
@@ -406,7 +420,10 @@ def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
         raise NotImplementedError("lanes collect transforms: only 'janus'")
     if mode == "xla":
         return _iso_ds_xla(sources, metas, mu1_v, dmu2_v, np.asarray(lr), np.asarray(wts), beta_target, order, cutoff, collect)
+    nb = -(-(len(mu1_v) * len(dmu2_v)) // block)
     return _iso_ds_pallas(
-        sources, metas, jnp.asarray(mu1_v), jnp.asarray(dmu2_v), np.asarray(lr), np.asarray(wts),
-        float(beta_target), order, float(cutoff), block, mode == "interpret", collect,
+        sources, metas, jnp.asarray(mu1_v), jnp.asarray(dmu2_v),
+        jnp.asarray(np.asarray(lr), dtype=jnp.int32), jnp.asarray(np.asarray(wts), dtype=jnp.float64),
+        jnp.asarray(float(beta_target), dtype=jnp.float64), order, float(cutoff), block, nb,
+        mode == "interpret", collect,
     )
