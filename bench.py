@@ -907,6 +907,8 @@ def main():
         HJ, NJ = (24, 97) if quick else (96, 385)
         SJ = 4 if quick else 64
         jh_joint = _joint_prod(HJ, NJ)
+        jh_joint.make()  # pre-assemble once: a made hist is used read-only
+        # (no deepcopy+make per call), matching the oracle's pre-made input
         jt = _joint_states(SJ)
         jf = lambda: joint_state_sweep(jh_joint, JOINT_BETA, JOINT_MU_REF, jt, nnebr=1, max_peaks=4)  # noqa: E731
         jo = jf()

@@ -41,7 +41,10 @@ def _jits():
         import jax
 
         _JIT = {
-            "surface": jax.jit(_s2d.joint_surface_batch, static_argnames=()),
+            # only lnPI leaves the device: the watershed elevation x is
+            # DCE'd out of the launch and rebuilt host-side, halving the
+            # [S, H, N] f64 download (~19 MB/state-batch at 64x96x385)
+            "surface": jax.jit(lambda *a: _s2d.joint_surface_batch(*a)[0]),
             "phase": jax.jit(_s2d.pore_phase_batch, static_argnames="max_phases"),
         }
     return _JIT
@@ -67,8 +70,13 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
     act_kT_diff, n_phases, phase_ok, ridge_ok, fail_code, lnpi, labels,
     local_maxima.
     """
-    jh = copy.deepcopy(joint_hist)
+    # a made histogram (or from_json load) is used read-only; only an
+    # unmade one needs the deepcopy that shields the caller from make()'s
+    # in-place assembly (measured ~0.79 s/call of pure copy+make overhead
+    # on the 96x385 bench surface)
+    jh = joint_hist
     if "ln(PI)" not in jh.data:
+        jh = copy.deepcopy(joint_hist)
         jh.make()
     hd = jh.data
 
@@ -112,11 +120,15 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
     prop_names = list(hd["props"])
     props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
 
-    # stage 1: all S reweighted surfaces in one launch
+    # stage 1: all S reweighted surfaces in one launch.  lnpi_dev stays
+    # on device for stage 2 (no re-upload); the single host download
+    # feeds the watershed, with the elevation input x rebuilt in numpy
+    # exactly as joint_surface_batch defines it.
     d1_dev, d2_dev = _shard_states(dmu1, dmu2)
-    lnpi_b, x_b = _jits()["surface"](lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid)
-    lnpi_b = np.asarray(lnpi_b)
-    x_b = np.asarray(x_b)
+    lnpi_dev = _jits()["surface"](lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid)
+    lnpi_b = np.asarray(lnpi_dev)
+    mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
+    x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
 
     # host: data-dependent watershed per state (pore_pipeline stage 2)
     SP = len(dmu1)
@@ -142,7 +154,8 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
             peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
 
     # stage 2: fused per-phase integration of all S states in one launch
-    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_b, labels_b, peak_lnpi, n_labels)
+    # (lnpi_dev is the stage-1 device array — already resident/sharded)
+    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_b, peak_lnpi, n_labels)
     core = _jits()["phase"](lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev, max_phases=P)
     out = {k: np.asarray(v)[:S] for k, v in core.items()}
 

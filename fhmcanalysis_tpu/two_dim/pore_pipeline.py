@@ -45,7 +45,10 @@ def _jits():
         import jax
 
         _JIT = {
-            "surface": jax.jit(_s2d.pore_surface_batch),
+            # only lnPI leaves the device: the watershed elevation x is
+            # DCE'd out of the launch and rebuilt host-side, halving the
+            # [S, H, N] f64 download
+            "surface": jax.jit(lambda *a: _s2d.pore_surface_batch(*a)[0]),
             "phase": jax.jit(_s2d.pore_phase_batch, static_argnames="max_phases"),
         }
     return _JIT
@@ -109,8 +112,13 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
       labels       i32[S, H, N]   watershed labels
       local_maxima list[S] of i64[n_phases_s, 2] peak coordinates
     """
-    jh = copy.deepcopy(joint_hist)
-    jh.make()
+    # a made histogram (or from_json load) is used read-only; only an
+    # unmade one needs the deepcopy that shields the caller from make()'s
+    # in-place assembly
+    jh = joint_hist
+    if "ln(PI)" not in jh.data:
+        jh = copy.deepcopy(joint_hist)
+        jh.make()
     hd = jh.data
     assert np.all(hd["op_2"] == np.arange(len(hd["op_2"]))), "Must be 0 <= N <= N_max in a continuous fashion"
     assert np.all(hd["bounds_idx"][:, 0] == 0), "Lower bound for N must start from 0"
@@ -153,11 +161,15 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     prop_names = list(hd["props"])
     props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
 
-    # stage 1: all S surfaces in one launch (sharded over S with a mesh)
+    # stage 1: all S surfaces in one launch (sharded over S with a mesh).
+    # lnpi_dev stays on device for stage 2 (no re-upload); the single
+    # host download feeds the watershed, with the elevation input x
+    # rebuilt in numpy exactly as pore_surface_batch defines it.
     p_dev, beta_dev = _shard_states(p_vals, beta_vals)
-    lnpi_b, x_b = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid)
-    lnpi_b = np.asarray(lnpi_b)
-    x_b = np.asarray(x_b)
+    lnpi_dev = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid)
+    lnpi_b = np.asarray(lnpi_dev)
+    mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
+    x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
 
     # host: data-dependent segmentation per state (native flood)
     SP = len(p_vals)  # S plus any mesh padding
@@ -186,7 +198,8 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
             peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
 
     # stage 2: fused per-phase analysis of all S states in one launch
-    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_b, labels_b, peak_lnpi, n_labels)
+    # (lnpi_dev is the stage-1 device array — already resident/sharded)
+    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_b, peak_lnpi, n_labels)
     core = _jits()["phase"](lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev, max_phases=P)
     out = {k: np.asarray(v)[:S] for k, v in core.items()}
 

@@ -177,3 +177,33 @@ def test_mu_shift_moves_stability():
         lo, hi = np.argsort(nt)
         return fe[hi] - fe[lo]
     assert gap(1) < gap(0)
+
+
+def test_made_input_not_mutated_and_matches_unmade():
+    """The sweep skips the deepcopy for an already-made hist (it is used
+    read-only); caller data must be untouched and results must match the
+    unmade-input path exactly."""
+    import copy
+
+    targets = np.array([[0.2, -0.3], [0.5, -0.1]])
+    jh_made = _two_basin_joint()
+    jh_made.make()
+    snap = copy.deepcopy(jh_made.data)
+    out_made = joint_state_sweep(jh_made, BETA, MU_REF, targets, nnebr=1, max_peaks=4)
+    def _check(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype != object and b.dtype != object:  # entries deepcopy to new objects
+            np.testing.assert_array_equal(a, b)
+
+    for k, v in snap.items():
+        if isinstance(v, dict):
+            for kk in v:
+                _check(jh_made.data[k][kk], v[kk])
+        else:
+            _check(jh_made.data[k], v)
+
+    jh_raw = _two_basin_joint()  # unmade: sweep deepcopies + makes privately
+    out_raw = joint_state_sweep(jh_raw, BETA, MU_REF, targets, nnebr=1, max_peaks=4)
+    assert "ln(PI)" not in jh_raw.data  # caller's unmade hist untouched
+    for k in ("fe", "ave", "n_phases", "fail_code", "lnpi"):
+        np.testing.assert_array_equal(out_made[k], out_raw[k])

@@ -28,6 +28,8 @@ def _arm(engine):
     from fhmcanalysis_tpu.two_dim import free_energy_profile, pore_state_sweep
 
     jh = bench._pore_joint_prod(96, 385)
+    jh.make()  # pre-assemble: the sweep uses made hists read-only, so the
+    # per-call copy+make overhead does not dilute the engine delta
     fh = free_energy_profile.polynomial([0.1, 0.0])
     S = 64
     ps, betas = bench._pore_states_prod(S)
