@@ -76,6 +76,10 @@ PyObject *watershed(PyObject *, PyObject *args) {
     std::int64_t *lab = static_cast<std::int64_t *>(
         PyArray_DATA(reinterpret_cast<PyArrayObject *>(labels_o)));
 
+    // The flood touches only raw buffers from here on: release the GIL so
+    // the host pipelines can thread the per-state segmentation loop
+    // (pore/joint sweeps run S independent watersheds per batch).
+    Py_BEGIN_ALLOW_THREADS;
     std::priority_queue<Node, std::vector<Node>, NodeGreater> heap;
     std::int64_t counter = 0;
     for (npy_intp i = 0; i < H; ++i)
@@ -102,6 +106,7 @@ PyObject *watershed(PyObject *, PyObject *args) {
     }
     for (npy_intp p = 0; p < H * W; ++p)
         if (!msk[p]) lab[p] = 0;
+    Py_END_ALLOW_THREADS;
 
     Py_DECREF(image); Py_DECREF(markers); Py_DECREF(mask); Py_DECREF(offs);
     return labels_o;

@@ -27,8 +27,7 @@ import copy
 import numpy as np
 
 from ..core import segment2d as _s2d
-from .imaging import peak_local_max, watershed
-from .pore_pipeline import _footprint
+from .pore_pipeline import _footprint, _segment_batch_host
 
 __all__ = ["joint_state_sweep"]
 
@@ -130,28 +129,12 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
     mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
     x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
 
-    # host: data-dependent watershed per state (pore_pipeline stage 2)
-    SP = len(dmu1)
+    # host: data-dependent watershed per state (threaded, pore_pipeline)
     P = max_peaks + 1
     fp = _footprint(H, N, nnebr)
-    labels_b = np.zeros((SP, H, N), dtype=np.int32)
-    n_labels = np.zeros(SP, dtype=np.int64)
-    peak_lnpi = np.zeros((SP, P), dtype=np.float64)
-    peak_sat = np.zeros(SP, dtype=bool)
-    local_maxima = []
-    for s in range(SP):
-        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P + 1, footprint=fp)
-        peak_sat[s] = len(lm) > P
-        lm = lm[:P]
-        local_maxima.append(lm)
-        n_max = len(lm)
-        n_labels[s] = n_max
-        markers = np.zeros((H, N), dtype=int)
-        for i in range(n_max):
-            markers[lm[i][0], lm[i][1]] = i + 1
-        labels_b[s] = watershed(-x_b[s], markers=markers, mask=valid, connectivity=fp)
-        if n_max:
-            peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
+    labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
+        x_b, lnpi_b, valid, fp, nnebr, P
+    )
 
     # stage 2: fused per-phase integration of all S states in one launch
     # (lnpi_dev is the stage-1 device array — already resident/sharded)

@@ -26,6 +26,7 @@ semantics).
 from __future__ import annotations
 
 import copy
+import os
 
 import numpy as np
 
@@ -71,6 +72,51 @@ def _footprint(len_H: int, len_N: int, nnebr: int):
     fp_x = int(np.round(scale_n * nnebr)) * 2 + 1
     fp_y = int(np.round(scale_h * nnebr)) * 2 + 1
     return np.ones((fp_x, fp_y))
+
+
+def _segment_batch_host(x_b, lnpi_b, valid, fp, nnebr, P):
+    """Peak finding + watershed flood for a batch of independent states.
+
+    Each state probes one extra peak: truncation is a stable sorted
+    slice, so lm[:P] is exactly the num_peaks=P answer while len==P+1
+    proves the padding saturated (fail_code 3).
+
+    States are independent, so above a handful the loop runs on a small
+    thread pool: scipy's maximum_filter and the native C++ flood
+    (imaging.cpp) both release the GIL, so the floods genuinely overlap.
+    Results are bit-identical to the serial loop — every write lands in
+    a distinct [s] slot.
+    """
+    SP, H, N = x_b.shape
+    labels_b = np.zeros((SP, H, N), dtype=np.int32)
+    n_labels = np.zeros(SP, dtype=np.int64)
+    peak_lnpi = np.zeros((SP, P), dtype=np.float64)
+    peak_sat = np.zeros(SP, dtype=bool)
+    local_maxima = [None] * SP
+
+    def _one(s):
+        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P + 1, footprint=fp)
+        peak_sat[s] = len(lm) > P
+        lm = lm[:P]
+        local_maxima[s] = lm
+        n_max = len(lm)
+        n_labels[s] = n_max
+        markers = np.zeros((H, N), dtype=int)
+        for i in range(n_max):
+            markers[lm[i][0], lm[i][1]] = i + 1
+        labels_b[s] = watershed(-x_b[s], markers=markers, mask=valid, connectivity=fp)
+        if n_max:
+            peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
+
+    if SP >= 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+            list(ex.map(_one, range(SP)))
+    else:
+        for s in range(SP):
+            _one(s)
+    return labels_b, n_labels, peak_lnpi, peak_sat, local_maxima
 
 
 def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10, mesh=None):
@@ -171,31 +217,12 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
     x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
 
-    # host: data-dependent segmentation per state (native flood)
-    SP = len(p_vals)  # S plus any mesh padding
+    # host: data-dependent segmentation per state (native flood, threaded)
     P = max_peaks + 1  # background slot convention of pore_hist.phase_average
     fp = _footprint(H, N, nnebr)
-    labels_b = np.zeros((SP, H, N), dtype=np.int32)
-    n_labels = np.zeros(SP, dtype=np.int64)
-    peak_lnpi = np.zeros((SP, P), dtype=np.float64)
-    peak_sat = np.zeros(SP, dtype=bool)
-    local_maxima = []
-    for s in range(SP):
-        # probe one extra peak: truncation is a stable sorted slice, so
-        # lm[:P] is exactly the num_peaks=P answer while len==P+1 proves
-        # the padding saturated (fail_code 3)
-        lm = peak_local_max(x_b[s], min_distance=nnebr, exclude_border=0, num_peaks=P + 1, footprint=fp)
-        peak_sat[s] = len(lm) > P
-        lm = lm[:P]
-        local_maxima.append(lm)
-        n_max = len(lm)
-        n_labels[s] = n_max
-        markers = np.zeros((H, N), dtype=int)
-        for i in range(n_max):
-            markers[lm[i][0], lm[i][1]] = i + 1
-        labels_b[s] = watershed(-x_b[s], markers=markers, mask=valid, connectivity=fp)
-        if n_max:
-            peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
+    labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
+        x_b, lnpi_b, valid, fp, nnebr, P
+    )
 
     # stage 2: fused per-phase analysis of all S states in one launch
     # (lnpi_dev is the stage-1 device array — already resident/sharded)
