@@ -39,9 +39,10 @@ _BIGNEG = -1.7976931348623157e308  # -sys.float_info.max (pore_hist.pyx:40)
 # boundary_pair_integrals reduction engine: "segment" (jax.ops.segment_*,
 # scatter lowering) or "onehot" (scatter/gather-free masked reductions —
 # same shifted terms, so equal up to summation order; tests pin 1e-12).
-# Flip for on-chip A/B; the winner should become the sole implementation
-# once measured.
-BOUNDARY_SEGMENT_ENGINE = "segment"
+# On-chip A/B 2026-08-18 (tools/boundary_ab.py, 96x385 pore sweep, S=64):
+# onehot 18.4 st/s vs segment 8.3 st/s — stage 2 was scatter-bound, so
+# onehot is the default.  "segment" stays as the cross-check arm.
+BOUNDARY_SEGMENT_ENGINE = "onehot"
 
 
 def _masked_max(x, mask):

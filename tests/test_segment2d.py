@@ -194,13 +194,14 @@ def test_boundary_engines_agree():
     labels[: H // 2, 2 * N // 3 :] = 3
     labels[H // 2 :, 2 * N // 3 :] = 0  # background region keeps pairs sparse
     labels = jnp.asarray(labels)
+    default = s2d.BOUNDARY_SEGMENT_ENGINE
     try:
         s2d.BOUNDARY_SEGMENT_ENGINE = "segment"
         a_df, a_mx = s2d.boundary_pair_integrals(lnpi, labels, max_labels=5)
         s2d.BOUNDARY_SEGMENT_ENGINE = "onehot"
         b_df, b_mx = s2d.boundary_pair_integrals(lnpi, labels, max_labels=5)
     finally:
-        s2d.BOUNDARY_SEGMENT_ENGINE = "segment"
+        s2d.BOUNDARY_SEGMENT_ENGINE = default
     np.testing.assert_array_equal(np.asarray(a_mx), np.asarray(b_mx))
     np.testing.assert_allclose(np.asarray(a_df), np.asarray(b_df), rtol=0, atol=1e-12)
     live = np.asarray(a_df) > s2d._BIGNEG
