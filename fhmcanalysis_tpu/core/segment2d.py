@@ -128,7 +128,7 @@ def _boundary_mask(labels, background=0):
 _NEBR8 = ((1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1))
 
 
-def boundary_pair_integrals(lnpi, labels, max_labels: int):
+def boundary_pair_integrals(lnpi, labels, max_labels: int, engine: str | None = None):
     """Transition-state boundary integrals between watershed phases
     (pore_hist._segment, pore_hist.pyx:425-445).
 
@@ -144,7 +144,15 @@ def boundary_pair_integrals(lnpi, labels, max_labels: int):
 
     Returns (min_df, max_val): f64[(L+1), (L+1)] with _BIGNEG at pairs
     with no shared boundary (the reference's -sys.float_info.max fill).
+
+    ``engine`` selects the reduction (None = BOUNDARY_SEGMENT_ENGINE);
+    it is read at TRACE time, so jitted callers must make it a static
+    argument — flipping the module flag alone cannot retrace a cached
+    jit (tools/boundary_ab.py measured the two arms in subprocesses for
+    exactly this reason before the flag was threaded through).
     """
+    if engine is None:
+        engine = BOUNDARY_SEGMENT_ENGINE
     lnpi = jnp.asarray(lnpi)
     lab = jnp.asarray(labels)
     H, N = lab.shape
@@ -176,7 +184,7 @@ def boundary_pair_integrals(lnpi, labels, max_labels: int):
     nseg = L1 * L1 + 1
     vals = jnp.where(valid, vals, -jnp.inf)
 
-    if BOUNDARY_SEGMENT_ENGINE == "onehot":
+    if engine == "onehot":
         # scatter/gather-free per-pair logsumexp: segment_max/segment_sum
         # lower to TPU scatters (serialized like the gathers of
         # PERFORMANCE.md rule 1) and seg_max_f[keys] is a dynamic gather;
@@ -234,6 +242,7 @@ def pore_phase_core(
     peak_lnpi,
     n_labels,
     max_phases: int,
+    boundary_engine: str | None = None,
 ):
     """Fused per-phase analysis of one normalized pore surface
     (pore_hist.phase_average, pore_hist.pyx:186-252) — one jittable
@@ -296,7 +305,7 @@ def pore_phase_core(
     peak_flat = jnp.argmax(jnp.where(region, lnpi[None], -jnp.inf).reshape(P, -1), axis=1)
 
     # transition states (pyx:205-210): ts live entries -> -(ts - ln_f)
-    min_df, max_border = boundary_pair_integrals(lnpi, lab, P)
+    min_df, max_border = boundary_pair_integrals(lnpi, lab, P, engine=boundary_engine)
     live = min_df > _BIGNEG
     ts = jnp.where(live, -(min_df - lnf), min_df)
 
@@ -370,12 +379,16 @@ def joint_surface_batch(lnpi_raw, op1_vals, op2_vals, beta, dmu1_batch, dmu2_bat
     return jax.vmap(one)(jnp.asarray(dmu1_batch), jnp.asarray(dmu2_batch))
 
 
-def pore_phase_batch(lnpi_b, labels_b, valid, edge_idx, props, peak_lnpi_b, n_labels_b, max_phases: int):
+def pore_phase_batch(
+    lnpi_b, labels_b, valid, edge_idx, props, peak_lnpi_b, n_labels_b, max_phases: int, boundary_engine: str | None = None
+):
     """Stage-2 device batch: fused per-phase analysis over S states in
     one launch (vmap of pore_phase_core; labels from host watershed)."""
 
     def one(lnpi, labels, peak_lnpi, n_labels):
-        return pore_phase_core(lnpi, labels, valid, edge_idx, props, peak_lnpi, n_labels, max_phases)
+        return pore_phase_core(
+            lnpi, labels, valid, edge_idx, props, peak_lnpi, n_labels, max_phases, boundary_engine=boundary_engine
+        )
 
     return jax.vmap(one)(
         jnp.asarray(lnpi_b), jnp.asarray(labels_b), jnp.asarray(peak_lnpi_b), jnp.asarray(n_labels_b)

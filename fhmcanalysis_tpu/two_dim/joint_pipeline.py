@@ -44,7 +44,7 @@ def _jits():
             # DCE'd out of the launch and rebuilt host-side, halving the
             # [S, H, N] f64 download (~19 MB/state-batch at 64x96x385)
             "surface": jax.jit(lambda *a: _s2d.joint_surface_batch(*a)[0]),
-            "phase": jax.jit(_s2d.pore_phase_batch, static_argnames="max_phases"),
+            "phase": jax.jit(_s2d.pore_phase_batch, static_argnames=("max_phases", "boundary_engine")),
         }
     return _JIT
 
@@ -139,7 +139,10 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
     # stage 2: fused per-phase integration of all S states in one launch
     # (lnpi_dev is the stage-1 device array — already resident/sharded)
     lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_b, peak_lnpi, n_labels)
-    core = _jits()["phase"](lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev, max_phases=P)
+    core = _jits()["phase"](
+        lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
+        max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+    )
     out = {k: np.asarray(v)[:S] for k, v in core.items()}
 
     from .pore_pipeline import _PORE_CUTOFF

@@ -55,8 +55,8 @@ def _jits():
             "build": jax.jit(_s2d.build_pore_lnpi),
             "normalize": jax.jit(_s2d.normalize_2d),
             "region_thermo": jax.jit(_s2d.region_thermo_2d),
-            "boundary": jax.jit(_s2d.boundary_pair_integrals, static_argnames="max_labels"),
-            "phase_core": jax.jit(_s2d.pore_phase_core, static_argnames="max_phases"),
+            "boundary": jax.jit(_s2d.boundary_pair_integrals, static_argnames=("max_labels", "engine")),
+            "phase_core": jax.jit(_s2d.pore_phase_core, static_argnames=("max_phases", "boundary_engine")),
         }
     return _JIT
 
@@ -252,6 +252,7 @@ class pore_hist(object):
             np.asarray(peak_lnpi, dtype=np.float64),
             np.int32(n_max),
             max_phases=n_max,
+            boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
         )
         ave = np.asarray(core["ave"])
         fe = np.asarray(core["fe"])
@@ -425,7 +426,9 @@ class pore_hist(object):
 
         # integrate lnPI along phase boundaries
         if self.engine == "device":
-            min_df, max_val = _jits()["boundary"](sd, np.asarray(ans, dtype=np.int32), max_labels=n_maxima)
+            min_df, max_val = _jits()["boundary"](
+                sd, np.asarray(ans, dtype=np.int32), max_labels=n_maxima, engine=_s2d.BOUNDARY_SEGMENT_ENGINE
+            )
             min_df = np.array(min_df)
             max_val = np.array(max_val)
         else:

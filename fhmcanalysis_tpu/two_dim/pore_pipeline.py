@@ -50,7 +50,7 @@ def _jits():
             # DCE'd out of the launch and rebuilt host-side, halving the
             # [S, H, N] f64 download
             "surface": jax.jit(lambda *a: _s2d.pore_surface_batch(*a)[0]),
-            "phase": jax.jit(_s2d.pore_phase_batch, static_argnames="max_phases"),
+            "phase": jax.jit(_s2d.pore_phase_batch, static_argnames=("max_phases", "boundary_engine")),
         }
     return _JIT
 
@@ -227,7 +227,10 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     # stage 2: fused per-phase analysis of all S states in one launch
     # (lnpi_dev is the stage-1 device array — already resident/sharded)
     lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_b, peak_lnpi, n_labels)
-    core = _jits()["phase"](lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev, max_phases=P)
+    core = _jits()["phase"](
+        lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
+        max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+    )
     out = {k: np.asarray(v)[:S] for k, v in core.items()}
 
     ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)

@@ -265,6 +265,54 @@ def test_pore_state_sweep_on_chip():
             assert abs(float(out["ave"][s, k, names.index("N_tot")]) - props[k]["N_tot"]) < BAR, (s, k)
 
 
+def test_boundary_engines_agree_on_chip():
+    """Both boundary_pair_integrals engines (segment-op scatters vs the
+    one-hot masked reductions that are now the default after the
+    2026-08-18 A/B) on chip, checked against each other at the exact
+    level and against the numpy class oracle's activation energies at
+    the production bar (pore_hist.pyx:425-445 is the semantics)."""
+    from fhmcanalysis_tpu.core import segment2d as s2d
+    from fhmcanalysis_tpu.two_dim import free_energy_profile, joint_hist, pore_hist, pore_state_sweep
+
+    H, N = 13, 21
+    jh = joint_hist()
+    g1_0 = np.exp(-25.0 / 12.0)
+    g2_0 = np.exp(-225.0 / 12.0)
+    for i in range(H):
+        nmax = min(12 + (i // 2) * 2, N - 1)
+        n = np.arange(0, nmax + 1, dtype=float)
+        G1 = np.exp(-((n - 5.0) ** 2) / 12.0) - g1_0
+        G2 = np.exp(-((n - 15.0) ** 2) / 12.0) - g2_0
+        lnpi = 40.0 * np.exp(-((i - 3.0) ** 2) / 8.0) * G1 + 55.0 * np.exp(-((i - 9.0) ** 2) / 8.0) * G2
+        jh.enter(float(i + 1), lnpi, n.astype(int), {"N_tot": n, "U": -0.5 * n})
+    fh = free_energy_profile.polynomial([0.1, 0.0])
+    S = 4
+    ps = np.linspace(0.0, 0.08, S)
+    betas = np.full(S, 1.0)
+
+    default = s2d.BOUNDARY_SEGMENT_ENGINE
+    try:
+        s2d.BOUNDARY_SEGMENT_ENGINE = "onehot"
+        a = pore_state_sweep(jh, fh.free_energy, ps, betas, A=1.0, nnebr=1, max_peaks=4)
+        s2d.BOUNDARY_SEGMENT_ENGINE = "segment"
+        b = pore_state_sweep(jh, fh.free_energy, ps, betas, A=1.0, nnebr=1, max_peaks=4)
+    finally:
+        s2d.BOUNDARY_SEGMENT_ENGINE = default
+    assert bool(np.asarray(a["ridge_ok"]).all())
+    for s in range(S):
+        n = int(a["n_phases"][s])
+        assert n == int(b["n_phases"][s])
+        ga = np.asarray(a["act_kT"][s, :n, :n])
+        gb = np.asarray(b["act_kT"][s, :n, :n])
+        live = np.isfinite(ga) & np.isfinite(gb)
+        np.testing.assert_allclose(ga[live], gb[live], rtol=0, atol=BAR)
+        ph = pore_hist(jh, fh.free_energy, float(ps[s]), 1.0, float(betas[s]), engine="numpy")
+        props = ph.phase_average(nnebr=1, max_peaks=4)
+        want = np.asarray(props["activation_kT"])
+        wl = np.isfinite(want) & np.isfinite(ga)
+        assert np.abs(ga[wl] - want[wl]).max() < BAR, s
+
+
 def test_production_n573_sweep_on_chip():
     """The N=573 square-well composite through BOTH engines on chip —
     the workload that exposed three production-N failures on 2026-08-17
