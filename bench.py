@@ -189,10 +189,16 @@ def _joint_states(S):
 
 
 def _joint_numpy_state(jh_made, beta, mu_ref, mu_t, nnebr, max_peaks):
-    """Per-state numpy reference: reweight + normalize + watershed +
-    per-phase integrals with plain numpy (the what-you-would-write-
-    without-the-framework path; shares only the host watershed helpers
-    the device pipeline also uses)."""
+    """Per-state numpy reference with the FULL sweep output scope:
+    reweight + normalize + watershed + per-phase averages of EVERY
+    property + ridgeline diagnostic + boundary transition states and
+    activation matrices — everything joint_state_sweep reports per
+    state, in plain numpy (the what-you-would-write-without-the-
+    framework path; shares only the host watershed helpers the device
+    pipeline also uses).  Matching output scope is what makes
+    joint_gc's vs_baseline compare equal work — the same definition
+    the pore metrics use (their oracle is the full phase_average,
+    pore_hist.pyx:186-252)."""
     from fhmcanalysis_tpu.two_dim.imaging import peak_local_max, watershed
     from fhmcanalysis_tpu.two_dim.pore_pipeline import _footprint
 
@@ -217,16 +223,73 @@ def _joint_numpy_state(jh_made, beta, mu_ref, mu_t, nnebr, max_peaks):
     fin = np.isfinite(col0)
     m0 = col0[fin].max()
     lnf = m0 + np.log(np.sum(np.exp(col0[fin] - m0)))
-    fe, ntot = [], []
-    surf_nt = np.asarray(hd["props"]["N_tot"], dtype=np.float64)
-    for p in range(len(lm)):
-        vals = lnpi[labels == (p + 1)]
+    n_max = len(lm)
+    edge_idx = np.asarray(hd["bounds_idx"][:, 1], dtype=int)
+    edge_lnpi = lnpi[np.arange(H), edge_idx]
+    edge_lab = labels[np.arange(H), edge_idx]
+    fe, peak_ln, ridge_ok = [], [], True
+    ave = {k: [] for k in hd["props"]}
+    for p in range(n_max):
+        sel = labels == (p + 1)
+        vals = lnpi[sel]
         mp = vals.max()
         lse = mp + np.log(np.sum(np.exp(vals - mp)))
         fe.append(lnf - lse)
         prob = np.exp(vals - mp)
-        ntot.append(float(np.sum(prob * surf_nt[labels == (p + 1)]) / prob.sum()))
-    return {"n_phases": len(lm), "fe": fe, "ntot": ntot}
+        zs = prob.sum()
+        for k in ave:
+            ave[k].append(float(np.sum(prob * np.asarray(hd["props"][k], dtype=np.float64)[sel]) / zs))
+        peak_ln.append(float(lnpi[lm[p][0], lm[p][1]]))
+        ev = edge_lnpi[edge_lab == (p + 1)]
+        if ev.size and (mp - ev.max()) < 10.0:
+            ridge_ok = False
+    # boundary transition states (pore_hist.pyx:425-445 semantics): for
+    # every inner 4-connectivity boundary pixel p (label a>0 differing
+    # from some 4-neighbor) and each of its 8 in-bounds neighbors q with
+    # a different live label b, accumulate logaddexp(lnpi_p - ln2,
+    # lnpi_q - ln2) into the unordered pair's running logsumexp + max
+    bnd = np.zeros((H, N), dtype=bool)
+    bnd[1:, :] |= labels[1:, :] != labels[:-1, :]
+    bnd[:-1, :] |= labels[:-1, :] != labels[1:, :]
+    bnd[:, 1:] |= labels[:, 1:] != labels[:, :-1]
+    bnd[:, :-1] |= labels[:, :-1] != labels[:, 1:]
+    bnd &= labels != 0
+    ln2 = np.log(2.0)
+    keys, contrib = [], []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            r0, r1 = max(0, -di), H - max(0, di)
+            c0, c1 = max(0, -dj), N - max(0, dj)
+            lp = labels[r0:r1, c0:c1]
+            lq = labels[r0 + di:r1 + di, c0 + dj:c1 + dj]
+            ok = bnd[r0:r1, c0:c1] & (lq > 0) & (lq != lp)
+            v = np.logaddexp(lnpi[r0:r1, c0:c1][ok] - ln2, lnpi[r0 + di:r1 + di, c0 + dj:c1 + dj][ok] - ln2)
+            keys.append(np.minimum(lp[ok], lq[ok]) * (n_max + 1) + np.maximum(lp[ok], lq[ok]))
+            contrib.append(v)
+    keys = np.concatenate(keys) if keys else np.zeros(0, dtype=int)
+    contrib = np.concatenate(contrib) if contrib else np.zeros(0)
+    act_kT = [[0.0] * n_max for _ in range(n_max)]
+    act_kT_diff = [[0.0] * n_max for _ in range(n_max)]
+    for k in np.unique(keys):
+        vv = contrib[keys == k]
+        mx = vv.max()
+        lse = mx + np.log(np.sum(np.exp(vv - mx)))
+        a, b = divmod(int(k), n_max + 1)
+        i, j = a - 1, b - 1
+        ts = -(lse - lnf)
+        act_kT[i][j] = act_kT[j][i] = ts - max(fe[i], fe[j])
+        act_kT_diff[i][j] = act_kT_diff[j][i] = min(peak_ln[i], peak_ln[j]) - mx
+    return {
+        "n_phases": n_max,
+        "fe": fe,
+        "ntot": ave["N_tot"],
+        "ave": ave,
+        "ridge_ok": bool(ridge_ok),
+        "act_kT": act_kT,
+        "act_kT_diff": act_kT_diff,
+    }
 
 
 _T0 = time.time()
@@ -1044,17 +1107,23 @@ def main():
                 worst = max(worst, abs(float(p_out["ave"][s, ph, pore_names.index("N_tot")]) - r["ntot"][ph]))
         _gate(tag, worst)
 
-    # joint GC sweep vs the per-state numpy path
+    # joint GC sweep vs the per-state numpy path (full output scope:
+    # every property average, act matrices, ridge flag)
     if jo is not None:
         worst = 0.0
         jnames = list(jo["prop_names"])
-        j_nt = jnames.index("N_tot")
         for k, s in enumerate(joint_idx):
             r = ref["joint"][k]
-            assert int(jo["n_phases"][s]) == r["n_phases"], "joint phase count mismatch at state %d" % s
-            for ph in range(r["n_phases"]):
+            np_ = int(r["n_phases"])
+            assert int(jo["n_phases"][s]) == np_, "joint phase count mismatch at state %d" % s
+            assert bool(jo["ridge_ok"][s]) == bool(r["ridge_ok"]), "joint ridge_ok mismatch at state %d" % s
+            for ph in range(np_):
                 worst = max(worst, abs(float(jo["fe"][s, ph]) - r["fe"][ph]))
-                worst = max(worst, abs(float(jo["ave"][s, ph, j_nt]) - r["ntot"][ph]))
+                for kk, name in enumerate(jnames):
+                    worst = max(worst, abs(float(jo["ave"][s, ph, kk]) - r["ave"][name][ph]))
+                for ph2 in range(np_):
+                    worst = max(worst, abs(float(jo["act_kT"][s, ph, ph2]) - r["act_kT"][ph][ph2]))
+                    worst = max(worst, abs(float(jo["act_kT_diff"][s, ph, ph2]) - r["act_kT_diff"][ph][ph2]))
         _gate("joint", worst)
 
     # ---------------- report ---------------------------------------------

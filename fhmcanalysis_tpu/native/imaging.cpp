@@ -21,7 +21,7 @@ namespace {
 struct Node {
     double value;
     std::int64_t counter;
-    std::int64_t i, j;
+    std::int32_t i, j;
 };
 
 struct NodeGreater {
@@ -80,26 +80,55 @@ PyObject *watershed(PyObject *, PyObject *args) {
     // the host pipelines can thread the per-state segmentation loop
     // (pore/joint sweeps run S independent watersheds per batch).
     Py_BEGIN_ALLOW_THREADS;
+    // Precompute linear neighbor deltas and the interior margin: cells
+    // farther than the largest offset from every border can skip the
+    // per-neighbor bounds checks (the offsets are a footprint
+    // neighborhood — up to 26 entries for the pore/joint 3x9 — so the
+    // neighbor scan is the flood's hot loop).  Push order is untouched:
+    // labels stay bit-identical to the Python heapq path.
+    std::vector<npy_intp> dlin(K);
+    npy_intp m_i = 0, m_j = 0;
+    for (npy_intp k = 0; k < K; ++k) {
+        const npy_intp di = off[2 * k], dj = off[2 * k + 1];
+        dlin[k] = di * W + dj;
+        if (di > m_i) m_i = di; if (-di > m_i) m_i = -di;
+        if (dj > m_j) m_j = dj; if (-dj > m_j) m_j = -dj;
+    }
     std::priority_queue<Node, std::vector<Node>, NodeGreater> heap;
     std::int64_t counter = 0;
     for (npy_intp i = 0; i < H; ++i)
         for (npy_intp j = 0; j < W; ++j) {
             const npy_intp p = i * W + j;
             lab[p] = mrk[p];
-            if (mrk[p] > 0 && msk[p]) heap.push({img[p], counter++, i, j});
+            if (mrk[p] > 0 && msk[p])
+                heap.push({img[p], counter++, static_cast<std::int32_t>(i), static_cast<std::int32_t>(j)});
         }
 
     while (!heap.empty()) {
         Node n = heap.top();
         heap.pop();
-        const std::int64_t l = lab[n.i * W + n.j];
-        for (npy_intp k = 0; k < K; ++k) {
-            const std::int64_t ni = n.i + off[2 * k], nj = n.j + off[2 * k + 1];
-            if (ni >= 0 && ni < H && nj >= 0 && nj < W) {
-                const npy_intp p = ni * W + nj;
+        const npy_intp p0 = static_cast<npy_intp>(n.i) * W + n.j;
+        const std::int64_t l = lab[p0];
+        if (n.i >= m_i && n.i < H - m_i && n.j >= m_j && n.j < W - m_j) {
+            for (npy_intp k = 0; k < K; ++k) {
+                const npy_intp p = p0 + dlin[k];
                 if (msk[p] && lab[p] == 0) {
                     lab[p] = l;
-                    heap.push({img[p], counter++, ni, nj});
+                    heap.push({img[p], counter++,
+                               static_cast<std::int32_t>(n.i + off[2 * k]),
+                               static_cast<std::int32_t>(n.j + off[2 * k + 1])});
+                }
+            }
+        } else {
+            for (npy_intp k = 0; k < K; ++k) {
+                const npy_intp ni = n.i + off[2 * k], nj = n.j + off[2 * k + 1];
+                if (ni >= 0 && ni < H && nj >= 0 && nj < W) {
+                    const npy_intp p = ni * W + nj;
+                    if (msk[p] && lab[p] == 0) {
+                        lab[p] = l;
+                        heap.push({img[p], counter++,
+                                   static_cast<std::int32_t>(ni), static_cast<std::int32_t>(nj)});
+                    }
                 }
             }
         }

@@ -27,7 +27,7 @@ import copy
 import numpy as np
 
 from ..core import segment2d as _s2d
-from .pore_pipeline import _footprint, _segment_batch_host
+from .pore_pipeline import _footprint, _segment_batch_host, _segment_stream
 
 __all__ = ["joint_state_sweep"]
 
@@ -120,25 +120,30 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
     props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
 
     # stage 1: all S reweighted surfaces in one launch.  lnpi_dev stays
-    # on device for stage 2 (no re-upload); the single host download
-    # feeds the watershed, with the elevation input x rebuilt in numpy
-    # exactly as joint_surface_batch defines it.
+    # on device for stage 2 (no re-upload); the host download feeds the
+    # watershed, with the elevation input x rebuilt in numpy exactly as
+    # joint_surface_batch defines it.  Without a mesh the download,
+    # floods, and label upload are chunk-pipelined (_segment_stream).
     d1_dev, d2_dev = _shard_states(dmu1, dmu2)
     lnpi_dev = _jits()["surface"](lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid)
-    lnpi_b = np.asarray(lnpi_dev)
-    mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
-    x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
-
-    # host: data-dependent watershed per state (threaded, pore_pipeline)
     P = max_peaks + 1
     fp = _footprint(H, N, nnebr)
-    labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
-        x_b, lnpi_b, valid, fp, nnebr, P
-    )
+    if mesh is None:
+        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev = _segment_stream(
+            lnpi_dev, valid, fp, nnebr, P
+        )
+    else:
+        lnpi_b = np.asarray(lnpi_dev)
+        mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
+        x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
+        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
+            x_b, lnpi_b, valid, fp, nnebr, P
+        )
+        labels_dev = labels_b
 
     # stage 2: fused per-phase integration of all S states in one launch
     # (lnpi_dev is the stage-1 device array — already resident/sharded)
-    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_b, peak_lnpi, n_labels)
+    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_dev, peak_lnpi, n_labels)
     core = _jits()["phase"](
         lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
         max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,

@@ -108,15 +108,63 @@ def _segment_batch_host(x_b, lnpi_b, valid, fp, nnebr, P):
         if n_max:
             peak_lnpi[s, :n_max] = lnpi_b[s, lm[:, 0], lm[:, 1]]
 
-    if SP >= 8:
+    try:
+        workers = len(os.sched_getaffinity(0))  # honours CPU pinning
+    except AttributeError:  # non-Linux
+        workers = os.cpu_count() or 1
+    if SP >= 8 and workers > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+        with ThreadPoolExecutor(min(8, workers)) as ex:
             list(ex.map(_one, range(SP)))
     else:
         for s in range(SP):
             _one(s)
     return labels_b, n_labels, peak_lnpi, peak_sat, local_maxima
+
+
+def _segment_stream(lnpi_dev, valid, fp, nnebr, P, chunk=16):
+    """Chunk-pipelined stage-1 download + host segmentation + stage-2
+    label upload.
+
+    The tunnel transfer of the [S, H, N] f64 stage-1 surfaces is the
+    second-largest fixed cost of a state sweep after the flood itself
+    (~0.3 s for 64 96x385 states vs ~0.7 s of flooding, measured
+    2026-08-18).  Both the device_get RPC wait and the native flood
+    release the GIL, so a single download thread working chunk i+1
+    while the main thread floods chunk i hides all but the first
+    chunk's transfer — and label chunks are device_put as soon as they
+    are flooded (dispatch is async), so the stage-2 upload is in
+    flight before stage 2 is called.
+
+    Returns (labels_b, n_labels, peak_lnpi, peak_sat, local_maxima,
+    lnpi_b, labels_dev): the _segment_batch_host tuple plus the
+    assembled host surfaces and the on-device labels for stage 2.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S = int(lnpi_dev.shape[0])
+    bounds = [(a, min(a + chunk, S)) for a in range(0, S, chunk)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    parts = []
+    with ThreadPoolExecutor(1) as ex:
+        futs = [ex.submit(np.asarray, lnpi_dev[a:b]) for a, b in bounds]
+        for f in futs:
+            lnpi_c = f.result()
+            mn = np.min(np.where(valid, lnpi_c, np.inf), axis=(1, 2))
+            x_c = np.where(valid, lnpi_c - mn[:, None, None], 0.0)
+            seg = _segment_batch_host(x_c, lnpi_c, valid, fp, nnebr, P)
+            parts.append((lnpi_c, seg, jax.device_put(seg[0])))
+    labels_b = np.concatenate([p[1][0] for p in parts])
+    n_labels = np.concatenate([p[1][1] for p in parts])
+    peak_lnpi = np.concatenate([p[1][2] for p in parts])
+    peak_sat = np.concatenate([p[1][3] for p in parts])
+    local_maxima = [lm for p in parts for lm in p[1][4]]
+    lnpi_b = np.concatenate([p[0] for p in parts])
+    labels_dev = jnp.concatenate([p[2] for p in parts]) if len(parts) > 1 else parts[0][2]
+    return labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev
 
 
 def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10, mesh=None):
@@ -213,20 +261,27 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     # rebuilt in numpy exactly as pore_surface_batch defines it.
     p_dev, beta_dev = _shard_states(p_vals, beta_vals)
     lnpi_dev = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid)
-    lnpi_b = np.asarray(lnpi_dev)
-    mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
-    x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
 
-    # host: data-dependent segmentation per state (native flood, threaded)
+    # host: data-dependent segmentation per state (native flood); without
+    # a mesh the download, floods, and label upload are chunk-pipelined
     P = max_peaks + 1  # background slot convention of pore_hist.phase_average
     fp = _footprint(H, N, nnebr)
-    labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
-        x_b, lnpi_b, valid, fp, nnebr, P
-    )
+    if mesh is None:
+        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev = _segment_stream(
+            lnpi_dev, valid, fp, nnebr, P
+        )
+    else:
+        lnpi_b = np.asarray(lnpi_dev)
+        mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
+        x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
+        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
+            x_b, lnpi_b, valid, fp, nnebr, P
+        )
+        labels_dev = labels_b
 
     # stage 2: fused per-phase analysis of all S states in one launch
     # (lnpi_dev is the stage-1 device array — already resident/sharded)
-    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_b, peak_lnpi, n_labels)
+    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_dev, peak_lnpi, n_labels)
     core = _jits()["phase"](
         lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
         max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,

@@ -150,13 +150,18 @@ def test_bench_oracle_agrees_with_pipeline():
     assert (out["fail_code"] == 0).all()
     jh.make()
     names = out["prop_names"]
-    j_nt = names.index("N_tot")
     for s in range(4):
         r = bench._joint_numpy_state(jh, bench.JOINT_BETA, bench.JOINT_MU_REF, jt[s], 1, 4)
-        assert int(out["n_phases"][s]) == r["n_phases"]
-        for ph in range(r["n_phases"]):
+        n_ph = r["n_phases"]
+        assert int(out["n_phases"][s]) == n_ph
+        assert bool(out["ridge_ok"][s]) == r["ridge_ok"]
+        for ph in range(n_ph):
             assert abs(float(out["fe"][s, ph]) - r["fe"][ph]) < 1e-11, (s, ph)
-            assert abs(float(out["ave"][s, ph, j_nt]) - r["ntot"][ph]) < 1e-11, (s, ph)
+            for kk, name in enumerate(names):
+                assert abs(float(out["ave"][s, ph, kk]) - r["ave"][name][ph]) < 1e-11, (s, ph, name)
+            for ph2 in range(n_ph):
+                assert abs(float(out["act_kT"][s, ph, ph2]) - r["act_kT"][ph][ph2]) < 1e-11, (s, ph, ph2)
+                assert abs(float(out["act_kT_diff"][s, ph, ph2]) - r["act_kT_diff"][ph][ph2]) < 1e-11, (s, ph, ph2)
 
 
 def test_mu_shift_moves_stability():
