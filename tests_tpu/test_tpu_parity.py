@@ -339,3 +339,34 @@ def test_production_n573_sweep_on_chip():
         w = np.where(msk, np.asarray(want[k]), 0.0)
         assert np.isfinite(g).all() and np.isfinite(w).all(), k
         assert np.max(np.abs(g - w)) < BAR, (k, np.max(np.abs(g - w)))
+
+
+def test_joint_state_sweep_full_scope_on_chip():
+    """The streamed joint (N1, Ntot) GC sweep on chip vs the full-scope
+    per-state numpy oracle (bench._joint_numpy_state): every property
+    average, ridge flag, and the boundary act matrices — the exact gate
+    the driver bench applies, on a smaller surface."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests_tpu/", 1)[0])
+    import bench
+    from fhmcanalysis_tpu.two_dim import joint_state_sweep
+
+    jh = bench._joint_prod(32, 129)
+    jh.make()
+    jt = bench._joint_states(6)
+    out = joint_state_sweep(jh, bench.JOINT_BETA, bench.JOINT_MU_REF, jt, nnebr=1, max_peaks=4)
+    assert (np.asarray(out["fail_code"]) == 0).all()
+    names = list(out["prop_names"])
+    for s in range(6):
+        r = bench._joint_numpy_state(jh, bench.JOINT_BETA, bench.JOINT_MU_REF, jt[s], 1, 4)
+        n_ph = r["n_phases"]
+        assert int(out["n_phases"][s]) == n_ph, s
+        assert bool(out["ridge_ok"][s]) == r["ridge_ok"], s
+        for ph in range(n_ph):
+            assert abs(float(out["fe"][s, ph]) - r["fe"][ph]) < BAR, (s, ph)
+            for kk, name in enumerate(names):
+                assert abs(float(out["ave"][s, ph, kk]) - r["ave"][name][ph]) < BAR, (s, ph, name)
+            for ph2 in range(n_ph):
+                assert abs(float(out["act_kT"][s, ph, ph2]) - r["act_kT"][ph][ph2]) < BAR, (s, ph, ph2)
+                assert abs(float(out["act_kT_diff"][s, ph, ph2]) - r["act_kT_diff"][ph][ph2]) < BAR, (s, ph, ph2)
