@@ -41,7 +41,18 @@ cheapest sweep):
                                      surface, S=64 (mu1, mu2) targets
                                      (TPU-native capability; vs_baseline
                                      = speedup over the per-state numpy
-                                     path timed in the oracle)
+                                     path — FULL sweep scope: all props,
+                                     ridge, act matrices — timed in the
+                                     oracle).  NOTE: this workload is
+                                     host-flood-bound and the baseline
+                                     deliberately shares the native C++
+                                     flood, so vs_baseline saturates
+                                     below ~1 on a 1-core host — the
+                                     device path adds transfers/launches
+                                     on top of the same flood
+                                     (PERFORMANCE.md rule 14); its value
+                                     is exact f64 integrals on chip and
+                                     mesh scaling of S
   mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
   mu_beta_extrap_o2_points_per_sec   same at order 2
   isopleth_grid_cells_per_sec        binary isopleth make_grid surface (XLA
