@@ -78,8 +78,13 @@ PyObject *watershed(PyObject *, PyObject *args) {
 
     // The flood touches only raw buffers from here on: release the GIL so
     // the host pipelines can thread the per-state segmentation loop
-    // (pore/joint sweeps run S independent watersheds per batch).
+    // (pore/joint sweeps run S independent watersheds per batch).  Heap
+    // growth can throw std::bad_alloc; a C++ exception escaping while the
+    // GIL is released aborts the process, so the flood body is fenced and
+    // the error re-raised as a Python exception after the GIL returns.
+    bool flood_oom = false;
     Py_BEGIN_ALLOW_THREADS;
+    try {
     // Precompute linear neighbor deltas and the interior margin: cells
     // farther than the largest offset from every border can skip the
     // per-neighbor bounds checks (the offsets are a footprint
@@ -135,9 +140,16 @@ PyObject *watershed(PyObject *, PyObject *args) {
     }
     for (npy_intp p = 0; p < H * W; ++p)
         if (!msk[p]) lab[p] = 0;
+    } catch (const std::bad_alloc &) {
+        flood_oom = true;
+    }
     Py_END_ALLOW_THREADS;
 
     Py_DECREF(image); Py_DECREF(markers); Py_DECREF(mask); Py_DECREF(offs);
+    if (flood_oom) {
+        Py_DECREF(labels_o);
+        return PyErr_NoMemory();
+    }
     return labels_o;
 }
 

@@ -1,8 +1,15 @@
-"""General joint 2-D histogram lnPI(op_1, op_2).
+"""Joint 2-D histogram container: lnPI(op_1, op_2) from ragged slices.
 
-Parity: /root/reference/moments/histogram/two_dim/joint_hist.pyx —
-ragged per-op_1 entries assembled onto a padded rectangular surface with
--inf fill and per-row bounds indices.
+Behavioral parity target: /root/reference/moments/histogram/two_dim/
+joint_hist.pyx:22-301 (the entry container, ragged assembly onto a
+padded rectangle, and the JSON persistence format).  The format is a
+contract — the padded surface layout, per-row bounds indices, and JSON
+schema are consumed by pore_hist, the device sweeps, and the phase
+organizer — but the implementation here is its own: assembly is one
+vectorized searchsorted scatter per slice instead of the reference's
+O(rows x cols) ``list.index`` scan, and assembled state is invalidated
+whenever a slice is added so a made-then-modified histogram can never
+be swept stale.
 """
 
 from __future__ import annotations
@@ -14,14 +21,27 @@ import numpy as np
 
 __all__ = ["joint_hist"]
 
+# keys make() derives from the entries; dropped whenever entries change
+_ASSEMBLED_KEYS = ("ln(PI)", "op_1", "op_2", "bounds_idx", "props")
+
 
 class joint_hist(object):
-    """Joint histogram assembled from per-op_1 lnPI(op_2) entries
-    (joint_hist.pyx:22-301)."""
+    """Ragged-slice joint histogram (joint_hist.pyx:145-301 behavior).
+
+    Slices of lnPI(op_2) at fixed op_1 accumulate via add()/enter();
+    make() assembles them onto one padded [H, N] surface with -inf fill
+    for cells no slice covers, per-row [min, max] column bounds, and a
+    padded surface per property.  The device sweeps (joint_pipeline,
+    pore_pipeline) treat a made histogram as read-only; adding a slice
+    after make() drops the assembled arrays so the next sweep re-makes.
+    """
 
     class entry(object):
-        """One lnPI(op_2) vector plus named property vectors
-        (joint_hist.pyx:28-143)."""
+        """One lnPI(op_2) slice plus its named property vectors.
+
+        All vectors in a slice must share one length, and op_vals must
+        be sorted ascending (joint_hist.pyx:28-143 invariants).
+        """
 
         def __init__(self):
             self.clear_all()
@@ -55,6 +75,7 @@ class joint_hist(object):
             self.data["props"][name] = val
 
         def _check_size(self, x):
+            """Length agreement against whichever vector exists first."""
             if "ln(PI)" in self.data:
                 ref_size = len(self.data["ln(PI)"])
             elif "op_vals" in self.data:
@@ -73,62 +94,64 @@ class joint_hist(object):
         self.data = {}
 
     def add(self, op1, entry):
-        """Add an entry at op_1 (joint_hist.pyx:163-178)."""
+        """Store a (deep-copied) slice at op_1 (joint_hist.pyx:163-178).
+
+        Any previously assembled surface is invalidated: make() output
+        must always reflect the current entries, and the sweeps use
+        the presence of 'ln(PI)' as the "already made" signal.
+        """
         if "entries" not in self.data:
             self.data["entries"] = {}
         self.data["entries"][op1] = copy.deepcopy(entry)
+        for k in _ASSEMBLED_KEYS:
+            self.data.pop(k, None)
 
     def enter(self, op1, lnpi, op_vals, name_val_dict):
-        """Add an entry from raw arrays (joint_hist.pyx:180-199)."""
+        """add() from raw arrays (joint_hist.pyx:180-199)."""
         e = self.entry()
         e.set(lnpi, op_vals, name_val_dict)
         self.add(op1, e)
 
     def make(self):
-        """Assemble the padded joint surface (joint_hist.pyx:201-247).
+        """Assemble the padded joint surface (joint_hist.pyx:201-247
+        output contract).
 
-        Rows are sorted op_1 values; columns the union of op_2 values;
-        missing cells are -inf in ln(PI) and 0 in properties; per-row
-        [min_idx, max_idx] recorded in bounds_idx.
+        Rows are the sorted op_1 values, columns the sorted union of
+        every slice's op_2 values.  Cells no slice covers read -inf in
+        ln(PI) and 0 in each property; bounds_idx[row] holds the
+        [first, last] covered column.  Each slice lands via one
+        searchsorted + fancy-index scatter (columns are exact members
+        of the union, so searchsorted is an exact lookup; duplicate
+        op_2 values within a slice resolve to the last occurrence,
+        matching serial overwrite order).
         """
         op1_vals = sorted(self.data["entries"])
-        op2_vals = []
-        for x in op1_vals:
-            op2_vals = sorted(set(op2_vals) | set(self.data["entries"][x].data["op_vals"]))
+        entries = [self.data["entries"][x].data for x in op1_vals]
+        op2_vals = np.unique(np.concatenate([e["op_vals"] for e in entries]))
+        H, N = len(op1_vals), len(op2_vals)
 
-        self.data["ln(PI)"] = np.full((len(op1_vals), len(op2_vals)), -np.inf, dtype=np.float64)
+        lnpi = np.full((H, N), -np.inf, dtype=np.float64)
+        bounds = np.zeros((H, 2), dtype=np.int64)
+        prop_names = sorted(entries[0]["props"]) if entries else []
+        props = {p: np.zeros((H, N), dtype=np.float64) for p in prop_names}
+
+        for j, e in enumerate(entries):
+            cols = np.searchsorted(op2_vals, e["op_vals"])
+            lnpi[j, cols] = e["ln(PI)"]
+            bounds[j] = [cols.min(), cols.max()]
+            assert sorted(e["props"]) == prop_names, "Properties are not all the same, or some are missing"
+            for p in prop_names:
+                props[p][j, cols] = e["props"][p]
+
+        self.data["ln(PI)"] = lnpi
         self.data["op_1"] = np.array(op1_vals, dtype=np.float64)
-        self.data["op_2"] = np.array(op2_vals, dtype=np.float64)
-        self.data["bounds_idx"] = np.zeros((len(op1_vals), 2), dtype=np.int64)
-        self.data["props"] = {}
-
-        all_props = []
-        for j, x in enumerate(op1_vals):
-            op2 = self.data["entries"][x].data["op_vals"]
-            lnpi = self.data["entries"][x].data["ln(PI)"]
-            props = sorted(self.data["entries"][x].data["props"])
-            min_idx, max_idx = np.inf, -np.inf
-            for i in range(len(op2)):
-                y = op2_vals.index(op2[i])
-                self.data["ln(PI)"][j, y] = lnpi[i]
-                min_idx = min(min_idx, y)
-                max_idx = max(max_idx, y)
-            self.data["bounds_idx"][j, :] = [min_idx, max_idx]
-            if all_props:
-                assert props == all_props, "Properties are not all the same, or some are missing"
-            else:
-                all_props = copy.copy(props)
-
-        for prop in all_props:
-            self.data["props"][prop] = np.zeros((len(op1_vals), len(op2_vals)), dtype=np.float64)
-            for j, x in enumerate(op1_vals):
-                op2 = self.data["entries"][x].data["op_vals"]
-                for i in range(len(op2)):
-                    y = op2_vals.index(op2[i])
-                    self.data["props"][prop][j, y] = self.data["entries"][x].data["props"][prop][i]
+        self.data["op_2"] = np.asarray(op2_vals, dtype=np.float64)
+        self.data["bounds_idx"] = bounds
+        self.data["props"] = props
 
     def to_json(self, fname):
-        """JSON round-trip out (joint_hist.pyx:249-270)."""
+        """Persist the assembled surface (joint_hist.pyx:249-270 JSON
+        schema: indent=4, sorted keys, entries excluded)."""
         obj = {k: v for k, v in self.data.items() if k != "entries"}
         out = {
             "ln(PI)": np.asarray(obj["ln(PI)"]).tolist(),
@@ -141,16 +164,14 @@ class joint_hist(object):
             json.dump(out, f, indent=4, sort_keys=True)
 
     def from_json(self, fname):
-        """JSON round-trip in (joint_hist.pyx:272-301)."""
+        """Load an assembled surface (joint_hist.pyx:272-301), replacing
+        all current state."""
         self.clear()
         with open(fname, "r") as f:
             raw = json.load(f)
 
-        assert "ln(PI)" in raw, "Missing ln(PI) information"
-        assert "op_1" in raw, "Missing op_1 information"
-        assert "op_2" in raw, "Missing op_2 information"
-        assert "bounds_idx" in raw, "Missing bounds information"
-        assert "props" in raw, "Missing properties information"
+        for key in ("ln(PI)", "op_1", "op_2", "bounds_idx", "props"):
+            assert key in raw, "Missing %s information" % key
 
         self.data["ln(PI)"] = np.array(raw["ln(PI)"], dtype=np.float64)
         self.data["op_1"] = np.array(raw["op_1"], dtype=np.float64)

@@ -145,6 +145,13 @@ def _segment_stream(lnpi_dev, valid, fp, nnebr, P, chunk=16):
     import jax.numpy as jnp
 
     S = int(lnpi_dev.shape[0])
+    if S == 0:  # empty state batch: nothing to download or flood
+        H, N = int(lnpi_dev.shape[1]), int(lnpi_dev.shape[2])
+        return (
+            np.zeros((0, H, N), np.int32), np.zeros(0, np.int64),
+            np.zeros((0, P), np.float64), np.zeros(0, bool), [],
+            np.zeros((0, H, N), np.float64), jnp.zeros((0, H, N), np.int32),
+        )
     bounds = [(a, min(a + chunk, S)) for a in range(0, S, chunk)]
     from concurrent.futures import ThreadPoolExecutor
 

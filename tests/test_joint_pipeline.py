@@ -196,19 +196,52 @@ def test_made_input_not_mutated_and_matches_unmade():
     snap = copy.deepcopy(jh_made.data)
     out_made = joint_state_sweep(jh_made, BETA, MU_REF, targets, nnebr=1, max_peaks=4)
     def _check(a, b):
-        a, b = np.asarray(a), np.asarray(b)
-        if a.dtype != object and b.dtype != object:  # entries deepcopy to new objects
-            np.testing.assert_array_equal(a, b)
+        if isinstance(getattr(a, "data", None), dict):  # entry objects: compare their payloads
+            _check_dict(a.data, b.data)
+            return
+        if isinstance(a, dict) or isinstance(b, dict):
+            _check_dict(a, b)
+            return
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    for k, v in snap.items():
-        if isinstance(v, dict):
-            for kk in v:
-                _check(jh_made.data[k][kk], v[kk])
-        else:
-            _check(jh_made.data[k], v)
+    def _check_dict(a, b):
+        assert set(a) == set(b)
+        for kk in a:
+            _check(a[kk], b[kk])
+
+    _check_dict(jh_made.data, snap)
 
     jh_raw = _two_basin_joint()  # unmade: sweep deepcopies + makes privately
     out_raw = joint_state_sweep(jh_raw, BETA, MU_REF, targets, nnebr=1, max_peaks=4)
     assert "ln(PI)" not in jh_raw.data  # caller's unmade hist untouched
     for k in ("fe", "ave", "n_phases", "fail_code", "lnpi"):
         np.testing.assert_array_equal(out_made[k], out_raw[k])
+
+
+def test_add_after_make_invalidates_assembly():
+    """A slice added after make() must drop the assembled surface, so the
+    next sweep/make reflects the new entries instead of sweeping stale
+    'ln(PI)' (the sweeps use that key as the already-made signal)."""
+    jh = _two_basin_joint()
+    jh.make()
+    stale = np.array(jh.data["ln(PI)"], copy=True)
+    nt = np.arange(12, 25, dtype=float)
+    jh.enter(12.0, np.full(nt.shape, 5.0), nt.astype(int),
+             {"N_tot": nt, "N_1": np.full(nt.shape, 12.0), "U": -0.4 * nt})
+    assert "ln(PI)" not in jh.data and "bounds_idx" not in jh.data
+
+    # a fresh make sees the new row; the sweep path re-makes internally
+    jh.make()
+    assert jh.data["ln(PI)"].shape[0] == stale.shape[0] + 1
+    out = joint_state_sweep(jh, BETA, MU_REF, np.array([[0.2, -0.3]]), nnebr=1, max_peaks=4)
+    assert out["lnpi"].shape[1] == stale.shape[0] + 1
+
+
+def test_empty_state_batch():
+    """S=0 target lists return empty, correctly shaped arrays (ADVICE r3:
+    _segment_stream used to crash on np.concatenate([]))."""
+    jh = _two_basin_joint()
+    out = joint_state_sweep(jh, BETA, MU_REF, np.zeros((0, 2)), nnebr=1, max_peaks=4)
+    assert out["fe"].shape == (0, 5)
+    assert out["lnpi"].shape[0] == 0 and out["labels"].shape[0] == 0
+    assert out["fail_code"].shape == (0,) and out["local_maxima"] == []
