@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "valid_mask_2d",
@@ -32,6 +33,10 @@ __all__ = [
     "region_thermo_2d",
     "boundary_pair_integrals",
     "pore_phase_core",
+    "hillclimb_segment",
+    "hillclimb_segment_batch",
+    "pore_sweep_fused",
+    "joint_sweep_fused",
 ]
 
 _BIGNEG = -1.7976931348623157e308  # -sys.float_info.max (pore_hist.pyx:40)
@@ -331,6 +336,161 @@ def pore_phase_core(
     }
 
 
+# ---------------------------------------------------------------------------
+# Device watershed: fixed-shape steepest-ascent segmentation
+# ---------------------------------------------------------------------------
+#
+# The reference (and our host arm) segments each surface with a
+# priority-flood watershed seeded at the footprint local maxima
+# (pore_hist.pyx:377-477; two_dim/imaging.py + native/imaging.cpp).  The
+# flood is data-dependent, but its RESULT is not: when every elevation is
+# distinct and the markers are exactly the footprint-local maxima — which
+# is the pore/joint pipelines' own seeding rule — the flood provably
+# assigns each cell the label of its steepest-ascent chain.  Sketch: pops
+# leave the heap in decreasing elevation among pushed cells, and a cell's
+# highest neighbor is always pushed (via its own ascending chain, whose
+# pops all sit above this cell's elevation) before any lower neighbor can
+# pop, so every cell is claimed by its argmax neighbor; induction up the
+# chain reaches the marker.  That steepest-ascent form IS a fixed-shape
+# XLA program: a masked footprint argmax per cell + O(log HN) rounds of
+# pointer jumping.  Exact ties (plateaus) are resolved by flood insertion
+# order on the host and by lowest-flat-index here, so plateau boundaries
+# may differ; the host flood stays available as the cross-check arm
+# (segment_engine="host"), mirroring BOUNDARY_SEGMENT_ENGINE.
+
+
+def hillclimb_segment(lnpi, valid, fp_shape, max_peaks_slots: int):
+    """Watershed labels of one surface as a fixed-shape device program.
+
+    Equivalent to the host pipeline's peak_local_max + priority-flood
+    pair (imaging.py; pore_hist.pyx:414-423) for surfaces without exact
+    elevation ties: peaks are cells >= every in-bounds neighbor (the
+    maximum_filter equality test), ranked by decreasing lnPI with
+    row-major tie order (peak_local_max's stable sort), and every valid
+    cell takes the label of the peak its steepest-ascent chain reaches.
+
+    The footprint is always a full rectangle (_footprint scales np.ones),
+    so the neighborhood (value, flat-index) argmax is SEPARABLE: one
+    column pass then one row pass — O(fy + fx) shifted compares instead
+    of O(fy * fx) (extreme surface aspect ratios produce 300+-offset
+    footprints whose unrolled scan stalled XLA compilation for minutes).
+    Lexicographic (value desc, flat asc) composition is exact: the row
+    pass keeps the lowest-flat max of each column window, the column
+    pass compares those winners on the same global key.
+
+    Parameters
+    ----------
+    lnpi     : f64[H, N] surface (shift-invariant; used directly as the
+               flood elevation — the host's ``x = lnpi - min`` offset
+               cancels in every comparison)
+    valid    : bool[H, N]
+    fp_shape : static (fy, fx) — the rectangular footprint's shape, as
+               built by pore_pipeline._footprint (both odd)
+    max_peaks_slots : static P — label slots (pore max_peaks + 1)
+
+    Returns dict:
+      labels    i32[H, N]  0 = background / draining to a trimmed peak
+      n_labels  i32[]      live labels, min(found peaks, P)
+      peak_lnpi f64[P]     lnPI at each ranked peak (0 pad)
+      peak_sat  bool[]     more maxima found than P slots
+      peak_rc   i32[P, 2]  ranked peak (row, col); (-1, -1) pad
+    """
+    lnpi = jnp.asarray(lnpi)
+    H, N = lnpi.shape
+    HN = H * N
+    P = max_peaks_slots
+    ry, rx = (int(fp_shape[0]) - 1) // 2, (int(fp_shape[1]) - 1) // 2
+    neg = jnp.array(-jnp.inf, lnpi.dtype)
+    e = jnp.where(valid, lnpi, neg)
+
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(N)[None, :]
+    flat = (rows * N + cols).astype(jnp.int32)
+
+    def _fold(best_v, best_i, nv, ni):
+        take = (nv > best_v) | ((nv == best_v) & (ni < best_i) & (nv > neg))
+        return jnp.where(take, nv, best_v), jnp.where(take, ni, best_i)
+
+    # column pass: window max (incl. center) along axis 1
+    bv, bi = e, flat
+    for dj in range(1, rx + 1):
+        for sdj in (dj, -dj):
+            nv = jnp.roll(e, -sdj, axis=1)
+            inb = (cols + sdj >= 0) & (cols + sdj < N)
+            nv = jnp.where(inb, nv, neg)
+            bv, bi = _fold(bv, bi, nv, flat + jnp.int32(sdj))
+
+    # row pass over the column-pass winners
+    best_v, best_i = bv, bi
+    for di in range(1, ry + 1):
+        for sdi in (di, -di):
+            nv = jnp.roll(bv, -sdi, axis=0)
+            ni = jnp.roll(bi, -sdi, axis=0)
+            inb = jnp.broadcast_to((rows + sdi >= 0) & (rows + sdi < H), (H, N))
+            nv = jnp.where(inb, nv, neg)
+            ni = jnp.where(inb, ni, jnp.int32(0))
+            best_v, best_i = _fold(best_v, best_i, nv, ni)
+
+    # peak rule == maximum_filter equality test: cell >= all neighbors.
+    # best includes the center, so value equality IS the >=-all-neighbors
+    # test (invalid cells read -inf exactly like the host's 0-background
+    # under the shared shift; see imaging.peak_local_max).
+    is_peak = (e == best_v) & valid
+    parent = jnp.where(is_peak, flat, best_i).ravel()
+
+    # rank peaks by (lnPI desc, flat asc) — P rounds of masked argmax
+    # reproduce peak_local_max's stable intensity sort + num_peaks slice
+    min_valid = jnp.min(jnp.where(valid, lnpi, jnp.inf))
+    score = jnp.where(is_peak & (e > min_valid), e, neg).ravel()
+    n_found = jnp.sum(score > neg, dtype=jnp.int32)
+    ids = jnp.arange(HN, dtype=jnp.int32)
+    peak_idx = []
+    peak_val = []
+    for _ in range(P):
+        k = jnp.argmax(score).astype(jnp.int32)
+        v = jnp.max(score)
+        live = v > neg
+        peak_idx.append(jnp.where(live, k, jnp.int32(HN)))
+        peak_val.append(jnp.where(live, v, 0.0))
+        score = jnp.where(ids == k, neg, score)
+    peak_idx = jnp.stack(peak_idx)  # [P], HN = dead slot
+    peak_lnpi = jnp.stack(peak_val)
+
+    # marker labels 1..n at the ranked peak cells (one-hot, gather-free)
+    marker = jnp.zeros(HN, dtype=jnp.int32)
+    for i in range(P):
+        marker = jnp.where(ids == peak_idx[i], jnp.int32(i + 1), marker)
+
+    # pointer jumping: after ceil(log2(HN)) doublings every chain has
+    # reached its peak root
+    jumps = max(1, int(np.ceil(np.log2(max(2, HN)))))
+    for _ in range(jumps):
+        parent = jnp.take(parent, parent)
+    labels = jnp.take(marker, parent).reshape(H, N)
+    labels = jnp.where(valid, labels, 0)
+
+    return {
+        "labels": labels,
+        "n_labels": jnp.minimum(n_found, P),
+        "peak_lnpi": peak_lnpi,
+        "peak_sat": n_found > P,
+        "peak_rc": jnp.where(
+            (peak_idx < HN)[:, None],
+            jnp.stack([peak_idx // N, peak_idx % N], axis=1),
+            -1,
+        ).astype(jnp.int32),
+    }
+
+
+def hillclimb_segment_batch(lnpi_b, valid, fp_shape, max_peaks_slots: int):
+    """vmap of hillclimb_segment over a state batch [S, H, N]."""
+
+    def one(lnpi):
+        return hillclimb_segment(lnpi, valid, fp_shape, max_peaks_slots)
+
+    return jax.vmap(one)(jnp.asarray(lnpi_b))
+
+
 def pore_surface_batch(lnpi_raw, h_vals, fh_vals, p_batch, A, beta_batch, valid):
     """Stage-1 device batch: build + normalize S pore surfaces in one
     launch (vmap of build_pore_lnpi/normalize_2d over (p, beta)).
@@ -377,6 +537,43 @@ def joint_surface_batch(lnpi_raw, op1_vals, op2_vals, beta, dmu1_batch, dmu2_bat
         return ln, x
 
     return jax.vmap(one)(jnp.asarray(dmu1_batch), jnp.asarray(dmu2_batch))
+
+
+def pore_sweep_fused(
+    lnpi_raw, h_vals, fh_vals, p_batch, A, beta_batch, valid, edge_idx, props,
+    fp_shape, max_phases: int, boundary_engine: str | None = None,
+):
+    """Whole pore state sweep as ONE device program: surface build +
+    normalize, device watershed, and per-phase analysis for all S states
+    — no host stage, no label round-trip (the round-3 sweeps paid a
+    download → priority-flood → upload cycle per batch; see
+    pore_pipeline._segment_stream for the host arm this replaces).
+
+    Returns (lnpi_b, seg, core): the normalized surfaces, the
+    hillclimb_segment_batch dict, and the pore_phase_batch dict.
+    """
+    lnpi_b, _ = pore_surface_batch(lnpi_raw, h_vals, fh_vals, p_batch, A, beta_batch, valid)
+    seg = hillclimb_segment_batch(lnpi_b, valid, fp_shape, max_phases)
+    core = pore_phase_batch(
+        lnpi_b, seg["labels"], valid, edge_idx, props, seg["peak_lnpi"], seg["n_labels"],
+        max_phases, boundary_engine=boundary_engine,
+    )
+    return lnpi_b, seg, core
+
+
+def joint_sweep_fused(
+    lnpi_raw, op1_vals, op2_vals, beta, dmu1_batch, dmu2_batch, valid, edge_idx, props,
+    fp_shape, max_phases: int, boundary_engine: str | None = None,
+):
+    """joint (N_1, N_tot) GC state sweep as ONE device program (the
+    joint-surface analog of pore_sweep_fused)."""
+    lnpi_b, _ = joint_surface_batch(lnpi_raw, op1_vals, op2_vals, beta, dmu1_batch, dmu2_batch, valid)
+    seg = hillclimb_segment_batch(lnpi_b, valid, fp_shape, max_phases)
+    core = pore_phase_batch(
+        lnpi_b, seg["labels"], valid, edge_idx, props, seg["peak_lnpi"], seg["n_labels"],
+        max_phases, boundary_engine=boundary_engine,
+    )
+    return lnpi_b, seg, core
 
 
 def pore_phase_batch(

@@ -157,22 +157,32 @@ def sharded_make_grid(mesh: Mesh, iso, mu1_bounds, dmu2_bounds, delta, m=2.5, mu
     return iso.make_grid(mu1_bounds, dmu2_bounds, delta, m=m, mu1_chunk=mu1_chunk, mesh=mesh)
 
 
-def sharded_pore_state_sweep(mesh: Mesh, joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10):
+def sharded_pore_state_sweep(
+    mesh: Mesh, joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10,
+    segment_engine="auto", return_surfaces=True,
+):
     """Slit-pore (p, beta) state sweep sharded over the mesh: both device
     stages of two_dim.pore_pipeline.pore_state_sweep (surface build +
     normalize, fused per-phase analysis) run with the state axis S split
-    across every mesh device (flattened axes); the host watershed stage is
-    unchanged.  States are embarrassingly parallel, so outputs are
+    across every mesh device (flattened axes); with segment_engine
+    "device" the watershed itself is sharded too (no host stage), with
+    "host" the flood stage gathers as before.  States are embarrassingly parallel, so outputs are
     identical to the single-device sweep; S is padded to the device count
     and trimmed on return.  The 2-D pore analog of sharded_make_grid
     (reference workload: pore_hist.pyx:82-375 analyzed one state at a
     time, organize.pyx:23-192 swept states serially)."""
     from ..two_dim.pore_pipeline import pore_state_sweep
 
-    return pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh)
+    return pore_state_sweep(
+        joint_hist, fh, p_vals, beta_vals, A, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh,
+        segment_engine=segment_engine, return_surfaces=return_surfaces,
+    )
 
 
-def sharded_joint_state_sweep(mesh: Mesh, joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10):
+def sharded_joint_state_sweep(
+    mesh: Mesh, joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10,
+    segment_engine="auto", return_surfaces=True,
+):
     """Joint (N_1, N_tot) GC state sweep sharded over the mesh: both
     device stages of two_dim.joint_pipeline.joint_state_sweep run with
     the (mu_1, mu_2) target axis S split across every mesh device, the
@@ -181,7 +191,10 @@ def sharded_joint_state_sweep(mesh: Mesh, joint_hist, beta, mu_ref, mu_targets, 
     assembly+JSON only)."""
     from ..two_dim.joint_pipeline import joint_state_sweep
 
-    return joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh)
+    return joint_state_sweep(
+        joint_hist, beta, mu_ref, mu_targets, nnebr=nnebr, max_peaks=max_peaks, mesh=mesh,
+        segment_engine=segment_engine, return_surfaces=return_surfaces,
+    )
 
 
 def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool = True):

@@ -49,7 +49,10 @@ def _jits():
     return _JIT
 
 
-def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10, mesh=None):
+def joint_state_sweep(
+    joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10, mesh=None,
+    segment_engine="auto", return_surfaces=True,
+):
     """Phase analysis of lnPI(N_1, N_tot) over S chemical-potential targets.
 
     Parameters
@@ -63,6 +66,11 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
                  semantics; the footprint scales with the surface shape)
     mesh       : optional jax.sharding.Mesh — shards the S state axis for
                  both device stages exactly as pore_state_sweep does.
+    segment_engine, return_surfaces : watershed engine + surface-fetch
+                 knobs, pore_state_sweep semantics ("device" = the whole
+                 sweep as one launch via the fixed-shape steepest-ascent
+                 watershed; "host" = reference-exact priority flood;
+                 "auto" = device on TPU).
 
     Returns the pore_state_sweep dict schema (slot-padded, P =
     max_peaks + 1): prop_names, ave [S,P,K], fe [S,P], act_kT,
@@ -119,35 +127,57 @@ def joint_state_sweep(joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=1
     prop_names = list(hd["props"])
     props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
 
-    # stage 1: all S reweighted surfaces in one launch.  lnpi_dev stays
-    # on device for stage 2 (no re-upload); the host download feeds the
-    # watershed, with the elevation input x rebuilt in numpy exactly as
-    # joint_surface_batch defines it.  Without a mesh the download,
-    # floods, and label upload are chunk-pipelined (_segment_stream).
-    d1_dev, d2_dev = _shard_states(dmu1, dmu2)
-    lnpi_dev = _jits()["surface"](lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid)
     P = max_peaks + 1
     fp = _footprint(H, N, nnebr)
-    if mesh is None:
-        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev = _segment_stream(
-            lnpi_dev, valid, fp, nnebr, P
-        )
-    else:
-        lnpi_b = np.asarray(lnpi_dev)
-        mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
-        x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
-        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
-            x_b, lnpi_b, valid, fp, nnebr, P
-        )
-        labels_dev = labels_b
+    from .pore_pipeline import _jits as _pore_jits, _resolve_segment_engine
 
-    # stage 2: fused per-phase integration of all S states in one launch
-    # (lnpi_dev is the stage-1 device array — already resident/sharded)
-    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_dev, peak_lnpi, n_labels)
-    core = _jits()["phase"](
-        lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
-        max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
-    )
+    engine = _resolve_segment_engine(segment_engine)
+    d1_dev, d2_dev = _shard_states(dmu1, dmu2)
+
+    if engine == "device":
+        # the whole sweep is ONE launch: reweighted surfaces + fixed-shape
+        # watershed + per-phase integration, sharded end-to-end on a mesh
+        lnpi_dev, seg, core = _pore_jits()["joint_fused"](
+            lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid, edge_idx, props,
+            fp_shape=tuple(fp.shape), max_phases=P,
+            boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+        )
+        n_labels = np.asarray(seg["n_labels"], dtype=np.int64)
+        peak_sat = np.asarray(seg["peak_sat"])
+        peak_rc = np.asarray(seg["peak_rc"])
+        local_maxima = [peak_rc[s, : n_labels[s]].astype(np.int64) for s in range(S)]
+        lnpi_b, labels_b = lnpi_dev, seg["labels"]
+        if return_surfaces:
+            lnpi_b, labels_b = np.asarray(lnpi_b), np.asarray(labels_b)
+    else:
+        # stage 1: all S reweighted surfaces in one launch.  lnpi_dev
+        # stays on device for stage 2 (no re-upload); the host download
+        # feeds the watershed, with the elevation input x rebuilt in
+        # numpy exactly as joint_surface_batch defines it.  Without a
+        # mesh the download, floods, and label upload are chunk-pipelined
+        # (_segment_stream).
+        lnpi_dev = _jits()["surface"](lnpi_raw, op1, op2, float(beta), d1_dev, d2_dev, valid)
+        if mesh is None:
+            labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev = _segment_stream(
+                lnpi_dev, valid, fp, nnebr, P
+            )
+        else:
+            lnpi_b = np.asarray(lnpi_dev)
+            mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
+            x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
+            labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
+                x_b, lnpi_b, valid, fp, nnebr, P
+            )
+            labels_dev = labels_b
+
+        # stage 2: fused per-phase integration of all S states in one
+        # launch (lnpi_dev is the stage-1 device array — already
+        # resident/sharded)
+        lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_dev, peak_lnpi, n_labels)
+        core = _jits()["phase"](
+            lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
+            max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+        )
     out = {k: np.asarray(v)[:S] for k, v in core.items()}
 
     from .pore_pipeline import _PORE_CUTOFF

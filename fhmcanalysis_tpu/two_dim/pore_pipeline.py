@@ -51,8 +51,30 @@ def _jits():
             # [S, H, N] f64 download
             "surface": jax.jit(lambda *a: _s2d.pore_surface_batch(*a)[0]),
             "phase": jax.jit(_s2d.pore_phase_batch, static_argnames=("max_phases", "boundary_engine")),
+            # the whole sweep as one launch (device watershed, no host stage)
+            "pore_fused": jax.jit(
+                _s2d.pore_sweep_fused, static_argnames=("fp_shape", "max_phases", "boundary_engine")
+            ),
+            "joint_fused": jax.jit(
+                _s2d.joint_sweep_fused, static_argnames=("fp_shape", "max_phases", "boundary_engine")
+            ),
         }
     return _JIT
+
+
+def _resolve_segment_engine(segment_engine: str) -> str:
+    """'auto' picks the device watershed on TPU (one fused launch, no
+    download/flood/upload cycle) and the reference-exact host
+    priority-flood elsewhere.  The two agree exactly on surfaces without
+    exact elevation ties whenever the peak slots do not saturate
+    (fail_code 3); the host arm stays selectable as the cross-check, the
+    same dual-arm discipline as segment2d.BOUNDARY_SEGMENT_ENGINE."""
+    if segment_engine == "auto":
+        import jax
+
+        return "device" if jax.default_backend() == "tpu" else "host"
+    assert segment_engine in ("host", "device"), segment_engine
+    return segment_engine
 
 
 def _footprint(len_H: int, len_N: int, nnebr: int):
@@ -174,7 +196,10 @@ def _segment_stream(lnpi_dev, valid, fp, nnebr, P, chunk=16):
     return labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev
 
 
-def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10, mesh=None):
+def pore_state_sweep(
+    joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10, mesh=None,
+    segment_engine="auto", return_surfaces=True,
+):
     """Phase analysis of lnPI(h, N_tot) over S pore state points.
 
     Parameters
@@ -189,8 +214,22 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
                  every mesh device for both device stages (states are
                  embarrassingly parallel; the surface inputs replicate, S
                  is padded to the device count and trimmed on return).
-                 The host watershed stage is unchanged (it already gathers
-                 stage-1 surfaces for the data-dependent flood).
+                 With the host engine the watershed stage gathers stage-1
+                 surfaces for the data-dependent flood; with the device
+                 engine the whole sweep stays sharded on the mesh.
+    segment_engine : "auto" | "device" | "host" — "device" runs the
+                 whole sweep (surfaces + watershed + phase analysis) as
+                 one launch via the fixed-shape steepest-ascent watershed
+                 (segment2d.hillclimb_segment); "host" is the
+                 reference-exact priority flood (imaging.py).  They agree
+                 exactly on tie-free surfaces while the peak slots do not
+                 saturate; "auto" = device on TPU, host elsewhere.
+    return_surfaces : when False the [S, H, N] ``lnpi``/``labels`` values
+                 of the device engine stay as device arrays instead of
+                 being fetched to numpy — state sweeps consume the small
+                 per-phase outputs, and skipping the ~28 MB/64-state
+                 surface download is most of the device engine's win.
+                 (The host engine materializes them anyway.)
 
     Returns a dict of slot-padded host arrays (P = max_peaks + 1 slots):
       prop_names   list[K]
@@ -262,37 +301,58 @@ def pore_state_sweep(joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10
     prop_names = list(hd["props"])
     props = np.stack([np.asarray(hd["props"][p], dtype=np.float64) for p in prop_names])
 
-    # stage 1: all S surfaces in one launch (sharded over S with a mesh).
-    # lnpi_dev stays on device for stage 2 (no re-upload); the single
-    # host download feeds the watershed, with the elevation input x
-    # rebuilt in numpy exactly as pore_surface_batch defines it.
-    p_dev, beta_dev = _shard_states(p_vals, beta_vals)
-    lnpi_dev = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid)
-
-    # host: data-dependent segmentation per state (native flood); without
-    # a mesh the download, floods, and label upload are chunk-pipelined
     P = max_peaks + 1  # background slot convention of pore_hist.phase_average
     fp = _footprint(H, N, nnebr)
-    if mesh is None:
-        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev = _segment_stream(
-            lnpi_dev, valid, fp, nnebr, P
-        )
-    else:
-        lnpi_b = np.asarray(lnpi_dev)
-        mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
-        x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
-        labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
-            x_b, lnpi_b, valid, fp, nnebr, P
-        )
-        labels_dev = labels_b
+    engine = _resolve_segment_engine(segment_engine)
+    p_dev, beta_dev = _shard_states(p_vals, beta_vals)
 
-    # stage 2: fused per-phase analysis of all S states in one launch
-    # (lnpi_dev is the stage-1 device array — already resident/sharded)
-    lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_dev, peak_lnpi, n_labels)
-    core = _jits()["phase"](
-        lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
-        max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
-    )
+    if engine == "device":
+        # the whole sweep is ONE launch: surfaces + fixed-shape watershed
+        # + per-phase analysis, sharded end-to-end under a mesh
+        lnpi_dev, seg, core = _jits()["pore_fused"](
+            lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid, edge_idx, props,
+            fp_shape=tuple(fp.shape), max_phases=P,
+            boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+        )
+        n_labels = np.asarray(seg["n_labels"], dtype=np.int64)
+        peak_sat = np.asarray(seg["peak_sat"])
+        peak_rc = np.asarray(seg["peak_rc"])
+        local_maxima = [peak_rc[s, : n_labels[s]].astype(np.int64) for s in range(S)]
+        lnpi_b, labels_b = lnpi_dev, seg["labels"]
+        if return_surfaces:
+            lnpi_b, labels_b = np.asarray(lnpi_b), np.asarray(labels_b)
+    else:
+        # stage 1: all S surfaces in one launch (sharded over S with a
+        # mesh).  lnpi_dev stays on device for stage 2 (no re-upload);
+        # the single host download feeds the watershed, with the
+        # elevation input x rebuilt in numpy exactly as
+        # pore_surface_batch defines it.
+        lnpi_dev = _jits()["surface"](lnpi_raw, h_vals, fh_vals, p_dev, float(A), beta_dev, valid)
+
+        # host: data-dependent flood per state (native imaging.cpp);
+        # without a mesh the download, floods, and label upload are
+        # chunk-pipelined
+        if mesh is None:
+            labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev = _segment_stream(
+                lnpi_dev, valid, fp, nnebr, P
+            )
+        else:
+            lnpi_b = np.asarray(lnpi_dev)
+            mn = np.min(np.where(valid, lnpi_b, np.inf), axis=(1, 2))
+            x_b = np.where(valid, lnpi_b - mn[:, None, None], 0.0)
+            labels_b, n_labels, peak_lnpi, peak_sat, local_maxima = _segment_batch_host(
+                x_b, lnpi_b, valid, fp, nnebr, P
+            )
+            labels_dev = labels_b
+
+        # stage 2: fused per-phase analysis of all S states in one launch
+        # (lnpi_dev is the stage-1 device array — already resident/sharded)
+        lnpi_dev, labels_dev, peak_dev, nlab_dev = _shard_states(lnpi_dev, labels_dev, peak_lnpi, n_labels)
+        core = _jits()["phase"](
+            lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
+            max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+        )
+
     out = {k: np.asarray(v)[:S] for k, v in core.items()}
 
     ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)

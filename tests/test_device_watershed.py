@@ -1,0 +1,159 @@
+"""Device watershed (fixed-shape steepest-ascent) vs the host flood.
+
+The host arm (imaging.peak_local_max + priority-flood watershed, the
+reference's pore_hist.pyx:414-423 pair) is the oracle: on surfaces
+without exact elevation ties and without peak-slot saturation the device
+engine must reproduce its labels, peak ranking, and coordinates EXACTLY
+(see the equivalence argument in core/segment2d.py).  Saturated states
+(more footprint maxima than slots, fail_code 3) are the documented
+divergence: the flood spills into un-markered basins, the device engine
+leaves them background.
+"""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fhmcanalysis_tpu.core import segment2d as s2d
+from fhmcanalysis_tpu.two_dim import joint_hist, joint_state_sweep, pore_state_sweep, free_energy_profile
+from fhmcanalysis_tpu.two_dim.imaging import peak_local_max, watershed
+from fhmcanalysis_tpu.two_dim.pore_pipeline import _footprint
+
+from test_joint_pipeline import _two_basin_joint, BETA, MU_REF
+from test_pore_pipeline import _two_hill_joint
+
+
+def _rand_surface(rng, H, N, nb):
+    y, x = np.mgrid[0:H, 0:N]
+    z = np.zeros((H, N))
+    for _ in range(nb):
+        cy, cx = rng.rand() * H, rng.rand() * N
+        amp = 5 + 30 * rng.rand()
+        sy, sx = 2 + 4 * rng.rand(), 3 + 8 * rng.rand()
+        z += amp * np.exp(-((y - cy) ** 2 / (2 * sy**2) + (x - cx) ** 2 / (2 * sx**2)))
+    # deterministic tilt: makes every value distinct without adding maxima
+    z += 1e-7 * (y * 1.3 + x * 0.7)
+    return z
+
+
+def _host_arm(lnpi, valid, fp, nnebr, P):
+    x = np.where(valid, lnpi - np.min(np.where(valid, lnpi, np.inf)), 0.0)
+    lm = peak_local_max(x, min_distance=nnebr, exclude_border=0, num_peaks=P + 1, footprint=fp)
+    sat = len(lm) > P
+    lm = lm[:P]
+    markers = np.zeros(lnpi.shape, int)
+    for i, (r, c) in enumerate(lm):
+        markers[r, c] = i + 1
+    return watershed(-x, markers=markers, mask=valid, connectivity=fp), lm, sat
+
+
+def test_randomized_parity_with_host_flood():
+    rng = np.random.RandomState(7)
+    checked = 0
+    for _ in range(40):
+        H, N = rng.randint(8, 60), rng.randint(8, 120)
+        lnpi = _rand_surface(rng, H, N, rng.randint(1, 6))
+        edge = np.clip(rng.randint(N // 2, N, size=H), 1, N - 1)
+        valid = np.arange(N)[None, :] <= edge[:, None]
+        nnebr = int(rng.choice([1, 2]))
+        fp = _footprint(H, N, nnebr)
+        P = 8
+        lab_host, lm, sat = _host_arm(lnpi, valid, fp, nnebr, P)
+        if sat:
+            continue  # saturated: documented divergence, covered below
+        out = jax.jit(lambda l: s2d.hillclimb_segment(l, jnp.asarray(valid), tuple(fp.shape), P))(jnp.asarray(lnpi))
+        np.testing.assert_array_equal(np.asarray(out["labels"]), lab_host)
+        assert int(out["n_labels"]) == len(lm)
+        assert not bool(out["peak_sat"])
+        np.testing.assert_array_equal(np.asarray(out["peak_rc"])[: len(lm)], lm)
+        np.testing.assert_allclose(
+            np.asarray(out["peak_lnpi"])[: len(lm)], lnpi[lm[:, 0], lm[:, 1]], rtol=0, atol=0
+        )
+        checked += 1
+    assert checked >= 20, "too many saturated draws — fixture drifted"
+
+
+def test_saturation_flagged():
+    """More maxima than slots: the device engine must raise peak_sat (the
+    sweep's fail_code 3) and keep the top-P ranking; labels for basins of
+    trimmed peaks are background by design."""
+    rng = np.random.RandomState(3)
+    H, N = 40, 80
+    lnpi = _rand_surface(rng, H, N, 5) + 0.5 * rng.randn(H, N)  # noisy: many maxima
+    valid = np.ones((H, N), bool)
+    fp = _footprint(H, N, 1)
+    P = 3
+    lab_host, lm, sat = _host_arm(lnpi, valid, fp, 1, P)
+    assert sat
+    out = s2d.hillclimb_segment(jnp.asarray(lnpi), jnp.asarray(valid), tuple(fp.shape), P)
+    assert bool(out["peak_sat"])
+    assert int(out["n_labels"]) == P
+    np.testing.assert_array_equal(np.asarray(out["peak_rc"])[:P], lm)
+    lab_dev = np.asarray(out["labels"])
+    # every device-labeled cell agrees with the flood for the kept peaks'
+    # own cells; cells draining to trimmed maxima are 0 here, flooded there
+    for i in range(1, P + 1):
+        assert lab_dev[lm[i - 1][0], lm[i - 1][1]] == i
+
+
+def test_no_peaks_surface():
+    """A constant surface has no cell above the minimum: no peaks, all
+    background (the sweeps' fail_code 2 input)."""
+    lnpi = np.zeros((10, 12))
+    valid = np.ones((10, 12), bool)
+    out = s2d.hillclimb_segment(jnp.asarray(lnpi), jnp.asarray(valid), tuple(_footprint(10, 12, 1).shape), 4)
+    assert int(out["n_labels"]) == 0
+    assert not bool(out["peak_sat"])
+    assert (np.asarray(out["labels"]) == 0).all()
+
+
+class TestSweepEngines:
+    def test_joint_sweep_device_matches_host(self):
+        targets = np.array([[0.2, -0.3], [0.5, -0.1], [-0.2, 0.4], [0.7, 0.2]])
+        a = joint_state_sweep(_two_basin_joint(), BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                              segment_engine="host")
+        b = joint_state_sweep(_two_basin_joint(), BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                              segment_engine="device")
+        for k in ("labels", "n_phases", "fail_code", "phase_ok", "ridge_ok"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+        for k in ("lnpi", "fe", "ave", "act_kT", "act_kT_diff", "ts"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-12, err_msg=k)
+        for s in range(len(targets)):
+            np.testing.assert_array_equal(a["local_maxima"][s], b["local_maxima"][s])
+
+    def test_pore_sweep_device_matches_host(self):
+        jh = _two_hill_joint()
+        fh = free_energy_profile.polynomial([0.1, 0.0])
+        p_vals = np.array([0.0, 0.05, 0.1, 0.0, 0.02])
+        beta_vals = np.array([1.0, 1.0, 1.0, 0.9, 1.1])
+        a = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0, nnebr=1, max_peaks=4,
+                             segment_engine="host")
+        b = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0, nnebr=1, max_peaks=4,
+                             segment_engine="device")
+        for k in ("labels", "n_phases", "fail_code", "phase_ok", "ridge_ok"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+        for k in ("lnpi", "fe", "ave", "act_kT", "act_kT_diff"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-12, err_msg=k)
+
+    def test_return_surfaces_lazy(self):
+        targets = np.array([[0.2, -0.3]])
+        c = joint_state_sweep(_two_basin_joint(), BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                              segment_engine="device", return_surfaces=False)
+        assert isinstance(c["lnpi"], jax.Array) and isinstance(c["labels"], jax.Array)
+        d = joint_state_sweep(_two_basin_joint(), BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                              segment_engine="device", return_surfaces=True)
+        np.testing.assert_array_equal(np.asarray(c["labels"]), d["labels"])
+
+    def test_sharded_device_engine_matches(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from fhmcanalysis_tpu.parallel import grid_mesh, sharded_joint_state_sweep
+
+        targets = np.array([[0.2, -0.3], [0.5, -0.1], [-0.2, 0.4], [0.45, -0.2], [0.3, 0.0]])
+        a = joint_state_sweep(_two_basin_joint(), BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                              segment_engine="device")
+        b = sharded_joint_state_sweep(grid_mesh(8), _two_basin_joint(), BETA, MU_REF, targets,
+                                      nnebr=1, max_peaks=4, segment_engine="device")
+        for k in ("ave", "fe", "n_phases", "phase_ok", "ridge_ok", "fail_code", "lnpi", "labels"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
