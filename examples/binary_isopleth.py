@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from fhmcanalysis_tpu.binary import get_iso, isopleth
+from fhmcanalysis_tpu.binary import check_gibbs_duhem, get_iso, isopleth
 from fhmcanalysis_tpu.histogram.ntot import histogram
 
 FIXTURE = "/root/reference/unittests/reference/test.nc"
@@ -48,6 +48,29 @@ def main():
     iso.dump(os.path.join(tempfile.mkdtemp(prefix="fhmc_example_"), "isopleth.json"))
     zz, (zx, zy), rho, fe = iso.zoom(2.0, order=1)
     print("zoomed surface:", zz.shape)
+
+    # acceptance checks (the reference notebook's consistency properties,
+    # example/ntot/binary_square_well/phase_behavior.ipynb)
+    assert valid.sum() > 0.9 * Z.size, "most cells must evaluate cleanly"
+    assert 0.0 < Z[valid].min() and Z[valid].max() < 1.0, "x1 must be a mole fraction"
+    assert (iso.data["fail_code"][~valid] != 0).all() and (iso.data["fail_code"][valid] == 0).all()
+    assert len(pts) > 3, "iso-composition trace must produce a contour"
+    assert zz.shape[0] > Z.shape[0] and zz.shape[1] > Z.shape[1], "zoom must refine the lattice"
+
+    # Gibbs-Duhem consistency along an isobar: x1 dmu1/dx1 + x2 dmu2/dx1
+    # must vanish.  beta*P*V = -F.E./kT on this surface, and any monotone
+    # transform of P traces the same isobars, so -F.E./kT serves as the
+    # pressure grid directly (gc_binary.pyx:566-635 workflow).
+    p_grid = np.where(valid, -np.asarray(iso.data["F.E./kT"]), np.nan)
+    p_iso = float(np.nanmedian(p_grid))
+    res = check_gibbs_duhem(np.array([p_iso]), Z, p_grid, X, Y)
+    _, errs, x1s, _, _ = res[0]
+    errs = np.asarray(errs)
+    assert errs.size > 3, "isobar trace too short for a Gibbs-Duhem check"
+    resid = float(np.median(np.abs(errs)))
+    print("Gibbs-Duhem median |residual| along P*V*beta=%.3f: %.2e" % (p_iso, resid))
+    assert resid < 0.05, resid
+    print("all acceptance checks passed")
 
 
 if __name__ == "__main__":

@@ -76,6 +76,24 @@ def main():
             % (b, float(mus[i]), rho.min(), rho.max(), bool(convs[i]))
         )
 
+    # acceptance checks (the reference notebook's phase-diagram sanity
+    # properties, example/ntot/square_well/example.ipynb): every solve
+    # converged, a proper two-phase split (rho_vap < rho_liq), equal free
+    # energies at coexistence, and mu* strictly monotone in beta
+    mus_np = np.asarray(mus)
+    assert all(bool(c) for c in np.asarray(convs)), "coexistence solve did not converge"
+    for i in range(len(mus_np)):
+        m = np.asarray(masks[i])
+        rho = np.asarray(rhos[i])[m]
+        assert len(rho) == 2 and rho.min() < rho.max(), "expected a vapor-liquid split"
+        fe = np.asarray(fes[i])[m]
+        assert abs(fe[0] - fe[1]) < 1e-4, "free energies not equal at coexistence"
+    assert np.all(np.diff(mus_np) < 0), "mu* must fall monotonically with beta here"
+    # pinned value for this workflow (solve at beta = BETA_REF, the
+    # middle temperature; regression anchor for the full patch->solve chain)
+    assert abs(float(mus_np[2]) - 2.50149) < 1e-3, float(mus_np[2])
+    print("all acceptance checks passed")
+
 
 if __name__ == "__main__":
     main()

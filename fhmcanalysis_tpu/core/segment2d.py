@@ -166,9 +166,9 @@ def boundary_pair_integrals(lnpi, labels, max_labels: int, engine: str | None = 
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(N)[None, :]
 
-    keys = []
-    vals = []
-    valid = []
+    keys2d = []
+    lps = []
+    lqs = []
     ln2 = jnp.log(2.0)
     for di, dj in _NEBR8:
         q_lab = jnp.roll(lab, (-di, -dj), axis=(0, 1))
@@ -177,39 +177,48 @@ def boundary_pair_integrals(lnpi, labels, max_labels: int, engine: str | None = 
         ok = bnd & inb & (q_lab > 0) & (lab > 0) & (q_lab != lab)
         a = jnp.minimum(lab, q_lab)
         b = jnp.maximum(lab, q_lab)
-        key = jnp.where(ok, a * L1 + b, L1 * L1)  # overflow slot for invalid
-        v = jnp.logaddexp(lnpi - ln2, q_lnpi - ln2)
-        keys.append(key.ravel())
-        vals.append(v.ravel())
-        valid.append(ok.ravel())
+        keys2d.append(jnp.where(ok, a * L1 + b, 0))  # 0 = dead (a live pair has a >= 1)
+        lps.append(lnpi)
+        lqs.append(q_lnpi)
 
-    keys = jnp.concatenate(keys)
-    vals = jnp.concatenate(vals)
-    valid = jnp.concatenate(valid)
-    nseg = L1 * L1 + 1
-    vals = jnp.where(valid, vals, -jnp.inf)
+    KEY = jnp.stack(keys2d)  # [8, H, N] i-pair keys, 0 where not a boundary pair
+    LP = jnp.stack(lps)
+    LQ = jnp.stack(lqs)
 
     if engine == "onehot":
-        # scatter/gather-free per-pair logsumexp: segment_max/segment_sum
-        # lower to TPU scatters (serialized like the gathers of
-        # PERFORMANCE.md rule 1) and seg_max_f[keys] is a dynamic gather;
-        # with only (P+1)^2+1 segments, [nseg, K] masked reductions are
-        # three fused VPU passes instead.  exp stays one [K] pass: each
-        # element reads its own segment's max back through the same mask
-        # (a multiply-add contraction, not a gather).
-        seg_ids = jnp.arange(nseg, dtype=keys.dtype)
-        onehot = keys[None, :] == seg_ids[:-1, None]  # [nseg-1, K]; overflow slot dropped
-        neg = jnp.array(-jnp.inf, vals.dtype)
-        seg_max = jnp.max(jnp.where(onehot, vals[None, :], neg), axis=1)  # [nseg-1]
-        seg_max_f = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-        m_elem = jnp.sum(jnp.where(onehot, seg_max_f[:, None], 0.0), axis=0)  # [K]
-        shifted = jnp.where(valid, jnp.exp(vals - m_elem), 0.0)
-        seg_sum = jnp.sum(jnp.where(onehot, shifted[None, :], 0.0), axis=1)  # [nseg-1]
-        lse_body = jnp.where(seg_sum > 0.0, seg_max_f + jnp.log(seg_sum), _BIGNEG)
-        mx_body = jnp.where(jnp.isfinite(seg_max), seg_max, _BIGNEG)
-        min_df = lse_body[: L1 * L1].reshape(L1, L1)
-        max_val = mx_body[: L1 * L1].reshape(L1, L1)
+        # scatter/gather-free per-pair logsumexp in the LINEAR domain.
+        # exp(logaddexp(a, b) - ln2 - M) == (exp(a - M) + exp(b - M)) / 2
+        # exactly, so accumulating pair sums/maxima of that shared-shift
+        # quantity needs only 2 exps per direction-cell and TWO logs per
+        # pair — the previous formulation paid a per-cell emulated-f64
+        # logaddexp (2 exps + 1 log each) plus a [(L1^2+1), 8HN] one-hot;
+        # the per-pair shift M (max over max(a, b)) keeps every
+        # intermediate <= 1 at the pair's own saddle, so nothing
+        # underflows where it matters (TPU exponent-range rule).
+        pairs = [(pa, pb) for pa in range(1, L1) for pb in range(pa + 1, L1)]
+        mx_cell = jnp.maximum(LP, LQ)
+        neg = jnp.array(-jnp.inf, LP.dtype)
+        Ms = [jnp.max(jnp.where(KEY == pa * L1 + pb, mx_cell, neg)) for pa, pb in pairs]
+        m_elem = jnp.zeros_like(LP)
+        for (pa, pb), M in zip(pairs, Ms):
+            m_elem = m_elem + jnp.where(KEY == pa * L1 + pb, jnp.where(jnp.isfinite(M), M, 0.0), 0.0)
+        E = 0.5 * (jnp.exp(LP - m_elem) + jnp.exp(LQ - m_elem))
+        min_df = jnp.full((L1, L1), _BIGNEG)
+        max_val = jnp.full((L1, L1), _BIGNEG)
+        for (pa, pb), M in zip(pairs, Ms):
+            mk = KEY == pa * L1 + pb
+            Mf = jnp.where(jnp.isfinite(M), M, 0.0)
+            S = jnp.sum(jnp.where(mk, E, 0.0))
+            X = jnp.max(jnp.where(mk, E, 0.0))
+            lse = jnp.where(S > 0.0, Mf + jnp.log(S), _BIGNEG)
+            mxv = jnp.where(X > 0.0, Mf + jnp.log(X), _BIGNEG)
+            min_df = min_df.at[pa, pb].set(lse)
+            max_val = max_val.at[pa, pb].set(mxv)
     else:
+        keys = jnp.where(KEY > 0, KEY, L1 * L1).ravel()  # overflow slot for invalid
+        vals = jnp.where(KEY > 0, jnp.logaddexp(LP - ln2, LQ - ln2), -jnp.inf).ravel()
+        valid = (KEY > 0).ravel()
+        nseg = L1 * L1 + 1
         # two-pass segment logsumexp: max-shift per pair, then sum of exp
         seg_max = jax.ops.segment_max(vals, keys, num_segments=nseg)
         seg_max_f = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
@@ -285,10 +294,15 @@ def pore_phase_core(
 
     lnf = ln_f_2d(lnpi)
 
-    # per-phase masked probability averages (thermo over each label mask)
+    # per-phase masked probability averages (thermo over each label mask).
+    # Cells partition over phases, so ONE exp per cell suffices: select
+    # each cell's own phase shift (label-indexed one-hot, gather-free) and
+    # exponentiate once — bitwise identical to exp(lnpi - m_f[p]) inside
+    # region p, at 1/P the emulated-f64 exp cost (the dominant VPU cost).
     m = jnp.max(jnp.where(region, lnpi[None], -jnp.inf), axis=(1, 2))  # [P]
     m_f = jnp.where(jnp.isfinite(m), m, 0.0)
-    z = jnp.where(region, jnp.exp(lnpi[None] - m_f[:, None, None]), 0.0)  # [P, H, N]
+    m_cell = jnp.sum(jnp.where(region, m_f[:, None, None], 0.0), axis=0)  # [H, N]
+    z = jnp.where(region, jnp.exp(lnpi - m_cell)[None], 0.0)  # [P, H, N]
     s = jnp.sum(z, axis=(1, 2))  # [P]
     prob = z / jnp.where(s > 0, s, 1.0)[:, None, None]
     sum_prob = jnp.sum(prob, axis=(1, 2))
@@ -461,12 +475,48 @@ def hillclimb_segment(lnpi, valid, fp_shape, max_peaks_slots: int):
     for i in range(P):
         marker = jnp.where(ids == peak_idx[i], jnp.int32(i + 1), marker)
 
-    # pointer jumping: after ceil(log2(HN)) doublings every chain has
-    # reached its peak root
-    jumps = max(1, int(np.ceil(np.log2(max(2, HN)))))
-    for _ in range(jumps):
-        parent = jnp.take(parent, parent)
-    labels = jnp.take(marker, parent).reshape(H, N)
+    # label propagation down the steepest-ascent chains.  The parent is
+    # always inside the footprint rectangle, so one pointer application
+    # is a K-way SELECT over rolled copies — pure VPU work.  A
+    # ceil(log2(HN)) pointer-jumping formulation is fewer iterations but
+    # each is a [HN]-wide dynamic gather, which serializes per element
+    # on TPU (PERFORMANCE.md rule 1; measured ~430 ms of a 1.1 s fused
+    # 64-state sweep); chain-length select iterations in a while_loop
+    # are ~10x cheaper on real surfaces (longest chain ~ grid diameter
+    # in footprint steps, a few hundred).
+    if (2 * ry + 1) * (2 * rx + 1) <= 40:
+        parent2d = parent.reshape(H, N)
+        pdi = parent2d // N - rows
+        pdj = parent2d % N - cols
+        dirs = [
+            (sdi, sdj, (pdi == sdi) & (pdj == sdj))
+            for sdi in range(-ry, ry + 1)
+            for sdj in range(-rx, rx + 1)
+            if not (sdi == 0 and sdj == 0)
+        ]  # loop-invariant masks, hoisted out of the while_loop by jit
+
+        def _prop_cond(state):
+            _, changed, it = state
+            return changed & (it < HN)
+
+        def _prop_body(state):
+            lab, _, it = state
+            new = lab
+            for sdi, sdj, mk in dirs:
+                new = jnp.where(mk, jnp.roll(lab, (-sdi, -sdj), (0, 1)), new)
+            return new, jnp.any(new != lab), it + 1
+
+        labels, _, _ = jax.lax.while_loop(
+            _prop_cond, _prop_body, (marker.reshape(H, N), jnp.bool_(True), jnp.int32(0))
+        )
+    else:
+        # very wide footprints (extreme aspect ratios): the K-way select
+        # body gets large, so resolve chains by pointer jumping instead —
+        # ceil(log2(HN)) batched-gather doublings
+        jumps = max(1, int(np.ceil(np.log2(max(2, HN)))))
+        for _ in range(jumps):
+            parent = jnp.take(parent, parent)
+        labels = jnp.take(marker, parent).reshape(H, N)
     labels = jnp.where(valid, labels, 0)
 
     return {

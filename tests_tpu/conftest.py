@@ -47,6 +47,29 @@ def pytest_collection_modifyitems(config, items):
         item.add_marker(pytest.mark.tpu)
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make a tunnel-down run distinguishable from a real pass (VERDICT
+    r3 item 6): a green `pytest -m tpu` with every test skipped means
+    NOTHING ran on chip.  Emits one machine-greppable JSON status line —
+    the test-suite mirror of bench.py's tunnel_down flag."""
+    skipped = len(terminalreporter.stats.get("skipped", []))
+    passed = len(terminalreporter.stats.get("passed", []))
+    failed = len(terminalreporter.stats.get("failed", []))
+    status = {
+        "tests_tpu_passed": passed,
+        "tests_tpu_failed": failed,
+        "tests_tpu_skipped": skipped,
+        "tunnel_down": bool(skipped and not passed and not failed and not _TPU_STATE.get("ok", True)),
+    }
+    import json
+
+    terminalreporter.write_line("TESTS_TPU_STATUS " + json.dumps(status))
+    if status["tunnel_down"]:
+        terminalreporter.write_line(
+            "WARNING: every on-chip test skipped — TPU tunnel unreachable; this run verified NOTHING on chip"
+        )
+
+
 @pytest.fixture(scope="session", autouse=True)
 def require_tpu():
     if not _tpu_reachable():
