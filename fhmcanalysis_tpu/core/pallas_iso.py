@@ -390,7 +390,7 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     return z, rho, fe, ok, code
 
 
-def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None, collect=None):
+def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None, collect=None, device=None):
     """Evaluate an isopleth grid block with the fused cell kernel.
 
     sources: list of Hist; lr/wts: host bracket indices/weights per dmu2
@@ -398,10 +398,22 @@ def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     f64/bool/i32 arrays, matching isopleth._grid_eval's outputs
     (fail_code uses the binary.isopleth FAIL_* encoding).
 
+    device: optional jax.Device — pin the whole block (input placement +
+    kernel launch) to one device.  Cells are independent, so a mesh
+    caller can split the mu_1 axis into per-device blocks and dispatch
+    this kernel once per chip (isopleth._grid_block_kernel); dispatch is
+    async, so the chips run concurrently.
+
     The isopleth constructor validates nspec and beta_ref only, so the
     kernel's shared-row assumptions are checked HERE: all sources must
     share the op grid and volume (the kernel packs source[0]'s rows once).
     """
+    if device is not None:
+        with jax.default_device(device):
+            return iso_grid_ds(
+                sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff,
+                block=block, mode=mode, collect=collect,
+            )
     srcs_np = [np.asarray(h.op) for h in sources]
     for j, o in enumerate(srcs_np[1:], 1):
         if o.shape != srcs_np[0].shape or not np.array_equal(o, srcs_np[0]):

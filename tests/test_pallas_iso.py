@@ -116,3 +116,23 @@ def test_iso_collect_rejects_unknown():
     a = isopleth(srcs, 1.02, order=1)
     with pytest.raises(NotImplementedError):
         a.make_grid((-9.0, -8.0), (-9.9, -9.5), (0.5, 0.2), engine="pallas", collect="nope")
+
+
+def test_iso_kernel_mesh_matches_single_device():
+    """make_grid(mesh=..., engine="pallas") splits mu_1 into one block
+    per mesh device and dispatches the same kernel per chip; per-cell
+    results must be BITWISE identical to the single-device kernel
+    (VERDICT r3 item 2 done-criterion)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fhmcanalysis_tpu.parallel import grid_mesh, sharded_make_grid
+
+    mu1_b, dmu2_b, delta = (-9.0, -6.0), (-4.9, -4.1), (0.15, 0.08)
+    a = isopleth(_sources(FIXTURE, [-5.0, -4.0]), 1.02, order=1)
+    a.make_grid(mu1_b, dmu2_b, delta, engine="pallas")
+    b = isopleth(_sources(FIXTURE, [-5.0, -4.0]), 1.02, order=1)
+    sharded_make_grid(grid_mesh(8), b, mu1_b, dmu2_b, delta, engine="pallas")
+    for k in ("Z", "density", "F.E./kT", "valid", "fail_code"):
+        np.testing.assert_array_equal(np.asarray(a.data[k]), np.asarray(b.data[k]), err_msg=k)

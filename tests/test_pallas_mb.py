@@ -145,3 +145,31 @@ def test_mb_janus_collect_parity(fixture_hist):
 def test_mb_collect_rejects_unknown():
     with pytest.raises(NotImplementedError):
         mu_beta_sweep_thermo_ds(None, None, np.zeros(1), np.zeros(1), np.zeros((1, 1)), collect="nope")
+
+
+def test_mb_kernel_mesh_matches_single_device():
+    """sharded_mu_beta_sweep(engine="pallas") dispatches the kernel on a
+    contiguous mu_1 block per mesh device; outputs must be BITWISE equal
+    to one single-device kernel call (VERDICT r3 item 2)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from fhmcanalysis_tpu.core import pipeline as P
+    from fhmcanalysis_tpu.parallel import grid_mesh, sharded_mu_beta_sweep
+
+    h = histogram(FIXTURE.replace("test.nc", "test2.nc"), 1.0, [5.0, 0.0], smooth=1)
+    hh, meta = h._hist(), h._meta(max_phases=4)
+    mus = np.linspace(-9.0, -6.0, 24)
+    betas = np.linspace(0.95, 1.05, 4)
+    dmus = np.linspace(-5.3, -4.7, 4)[:, None]
+    ref = P.mu_beta_sweep_thermo(
+        hh, meta, jnp.asarray(mus), jnp.asarray(betas), jnp.asarray(dmus), order=1, props=True, engine="pallas"
+    )
+    out, femin = sharded_mu_beta_sweep(grid_mesh(8), hh, meta, mus, betas, dmus, order=1, props=True, engine="pallas")
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]), err_msg=k)
+    want = np.min(np.where(np.asarray(ref["mask"]), np.asarray(ref["fe"]), np.inf))
+    assert float(femin) == float(want)
