@@ -124,6 +124,15 @@ def _masked_pair_max(xh, xl, m, neg_inf):
     return mh, ml
 
 
+def _pair_max2(ah, al, bh, bl):
+    """Lexicographic max of two (hi, lo) pairs, elementwise."""
+    h = jnp.maximum(ah, bh)
+    neg_inf = F32(-jnp.inf)
+    la = jnp.where(ah == h, al, neg_inf)
+    lb = jnp.where(bh == h, bl, neg_inf)
+    return h, jnp.maximum(la, lb)
+
+
 def _relextrema_lanes(xh, xl, rows, N, smooth, P):
     """segment.relextrema (gc_hist.pyx:317-415 parity) in lanes layout.
 
@@ -326,7 +335,106 @@ def _phase_bounds_lanes(ext, N, P):
     return left.astype(I32), right.astype(I32), mask
 
 
-def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None):
+def _integrate_chunked(xh, xl, keys, lefts, rights, mask, N, P, props, TN, brk):
+    """The integration stages (per-phase maxima, shifted exp, key-row
+    products, per-phase pair sums) as a static loop over [TN, L] chunks
+    of the N axis, with [P, L] accumulators.
+
+    Identical math to the full-length section of thermo_lanes, but the
+    exp/product/tree-sum intermediates only ever exist one chunk at a
+    time — the VMEM lever that lifts the sweep kernel past NPAD=1024
+    (those stages hold ~18-20 live [NPAD, L] f32 arrays, the measured
+    16 MB scoped-VMEM OOM; segmentation's ~10 fit at NPAD=2048 with the
+    128-lane block).  Chunk sums accumulate pairwise, so values can
+    differ from the unchunked kernel at the ~2^-49 reassociation level;
+    segmentation and the per-phase maxima are exact and unchanged.
+
+    Returns (m_stk, sums) exactly as the unchunked section builds them.
+    """
+    NPAD, L = xh.shape
+    assert NPAD % TN == 0, (NPAD, TN)
+    nt = NPAD // TN
+    neg_inf = F32(-jnp.inf)
+
+    def chunk_rows(t):
+        # fresh iota + constant offset: offset-slicing a broadcasted_iota
+        # along sublanes SIGABRTs Mosaic (PERFORMANCE.md §8 note 8)
+        return lax.broadcasted_iota(I32, (TN, L), 0) + np.int32(t * TN)
+
+    def chunk_masks(rws):
+        real_t = rws < N
+        return [
+            (rws >= lefts[p : p + 1]) & (rws < rights[p : p + 1]) & mask[p : p + 1] & real_t
+            for p in range(P)
+        ]
+
+    # pass A: per-phase lexicographic pair maxima
+    mh_acc = [jnp.full((1, L), -jnp.inf, xh.dtype) for _ in range(P)]
+    ml_acc = [jnp.full((1, L), -jnp.inf, xh.dtype) for _ in range(P)]
+    for t in range(nt):
+        r0 = t * TN
+        xh_t, xl_t = xh[r0 : r0 + TN], xl[r0 : r0 + TN]
+        for p, ip in enumerate(chunk_masks(chunk_rows(t))):
+            ch, cl = _masked_pair_max(xh_t, xl_t, ip, neg_inf)
+            mh_acc[p], ml_acc[p] = _pair_max2(mh_acc[p], ml_acc[p], ch, cl)
+    m_stk = brk((jnp.concatenate(mh_acc, axis=0), jnp.concatenate(ml_acc, axis=0)))
+
+    # bin N-1 exact per-phase correction (endpoint-inclusion overlap —
+    # same rule as the unchunked section)
+    xe_h, xe_l = xh[N - 1 : N], xl[N - 1 : N]
+    in_last = (lefts <= np.int32(N - 1)) & (np.int32(N - 1) < rights) & mask  # [P, L]
+    t0h, t0l = ds.ds_exp_shifted(
+        *ds.ds_sub(xe_h + jnp.zeros_like(m_stk[0]), xe_l + jnp.zeros_like(m_stk[1]), m_stk[0], m_stk[1])
+    )
+    lt_h = jnp.where(in_last, t0h, F32(0.0))
+    lt_l = jnp.where(in_last, t0l, F32(0.0))
+    key_last = [(jnp.ones_like(xe_h), jnp.zeros_like(xe_l))]
+    if props:
+        for kh, kl in keys:
+            key_last.append((kh[N - 1 : N] + jnp.zeros_like(xe_h), kl[N - 1 : N] + jnp.zeros_like(xe_l)))
+
+    # pass B: shifted exp + products + per-phase sums, chunk by chunk
+    K1 = 1 + (len(keys) if props else 0)
+    zero = jnp.zeros((1, L), xh.dtype)
+    acc = [[(zero, zero) for _ in range(P)] for _ in range(K1)]
+    for t in range(nt):
+        r0 = t * TN
+        xh_t, xl_t = xh[r0 : r0 + TN], xl[r0 : r0 + TN]
+        rws = chunk_rows(t)
+        ips = chunk_masks(rws)
+        # per-bin shift: the bin's last covering phase wins; bins outside
+        # every phase shift by themselves (exp -> 1, excluded from every
+        # sum by the phase masks)
+        sh_h, sh_l = xh_t, xl_t
+        for p in range(P):
+            sh_h = jnp.where(ips[p], m_stk[0][p : p + 1] + jnp.zeros_like(xh_t), sh_h)
+            sh_l = jnp.where(ips[p], m_stk[1][p : p + 1] + jnp.zeros_like(xl_t), sh_l)
+        th, tl = ds.ds_sub(xh_t, xl_t, sh_h, sh_l)
+        eh, el = ds.ds_exp_shifted(th, tl)
+        not_last = rws != np.int32(N - 1)
+        pks_t = [(eh, el)]
+        if props:
+            for kh, kl in keys:
+                kh_t = kh[r0 : r0 + TN] + jnp.zeros_like(eh)
+                kl_t = kl[r0 : r0 + TN] + jnp.zeros_like(el)
+                pks_t.append(ds.ds_mul(eh, el, kh_t, kl_t))
+        for q, (qh, ql) in enumerate(pks_t):
+            for p in range(P):
+                sel = ips[p] & not_last
+                csh, csl = ds.ds_sum_pairs(
+                    jnp.where(sel, qh, F32(0.0)), jnp.where(sel, ql, F32(0.0)), axis=0
+                )
+                acc[q][p] = ds.ds_add(*acc[q][p], csh, csl)
+    sums = []
+    for q in range(K1):
+        s_h = jnp.concatenate([acc[q][p][0] for p in range(P)], axis=0)
+        s_l = jnp.concatenate([acc[q][p][1] for p in range(P)], axis=0)
+        term = ds.ds_mul(lt_h, lt_l, key_last[q][0] + jnp.zeros_like(lt_h), key_last[q][1] + jnp.zeros_like(lt_l))
+        sums.append(ds.ds_add(s_h, s_l, *term))
+    return m_stk, brk(sums)
+
+
+def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None, sum_chunk=None):
     """One block of the fused sweep in lanes layout.  Pure jnp on f32/i32:
     runs identically inside the Pallas kernel and under plain XLA (the
     CPU parity tests call it directly).
@@ -356,10 +464,10 @@ def sweep_block_lanes(ah, al, lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, 
     aoh, aol = ds.quick_two_sum(ph, pe)
     xh, xl = ds.ds_add(lnpi_h, lnpi_l + jnp.zeros_like(aol), aoh, aol)
 
-    return thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers, collect)
+    return thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers, collect, sum_chunk=sum_chunk)
 
 
-def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None):
+def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=False, collect=None, sum_chunk=None):
     """Segment + integrate a [NPAD, L] pair surface in lanes layout: the
     post-reweight 4/5 of sweep_block_lanes, shared with the extrapolating
     kernels (pallas_mb.py) which build their own x and key rows first.
@@ -376,6 +484,10 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
         raise NotImplementedError("lanes collect transforms: only 'janus'")
     real = rows < N
     lefts, rights, mask = _phase_bounds_lanes(ext, N, P)  # [P, L]
+
+    if sum_chunk is not None:
+        m_stk, sums = _integrate_chunked(xh, xl, keys, lefts, rights, mask, N, P, props, sum_chunk, brk)
+        return _finalize_lanes(ext, lefts, rights, mask, xh, xl, sums, m_stk, keys, vol_pair, P, props, brk)
 
     # per-phase max shifts; bins outside every phase fall back to the
     # global max (still <= 0 after the shift, contribute to no sum)
@@ -443,7 +555,13 @@ def thermo_lanes(xh, xl, rows, keys, vol_pair, N, smooth, P, props, barriers=Fal
         term = ds.ds_mul(lt_h, lt_l, key_last[q][0] + jnp.zeros_like(lt_h), key_last[q][1] + jnp.zeros_like(lt_l))
         sums.append(ds.ds_add(s_h, s_l, *term))
     sums = brk(sums)
+    return _finalize_lanes(ext, lefts, rights, mask, xh, xl, sums, m_stk, keys, vol_pair, P, props, brk)
 
+
+def _finalize_lanes(ext, lefts, rights, mask, xh, xl, sums, m_stk, keys, vol_pair, P, props, brk):
+    """fe + property joins from the per-phase pair sums — shared tail of
+    the unchunked and sum-chunked integration paths."""
+    L = xh.shape[-1]
     # fe_p = x[0] - m_p - log(wsum_p)  == -logsumexp(lnpi[seg]-lnpi[0])
     # (gc_hist.pyx:523-526; the global normalization cancels)
     x0h, x0l = xh[:1], xl[:1]
@@ -542,10 +660,10 @@ def _unpack(out_f, out_i, B, P, S, props):
 # ----------------------------------------------------------------------
 
 
-def _kernel(ah_ref, al_ref, cst_ref, out_f_ref, out_i_ref, *, N, NPAD, smooth, P, S, props, collect):
+def _kernel(ah_ref, al_ref, cst_ref, out_f_ref, out_i_ref, *, N, NPAD, smooth, P, S, props, collect, sum_chunk=None):
     lnpi_h, lnpi_l, op, keys, vol_pair = _unpack_cst(cst_ref[:], NPAD, S)
     out = sweep_block_lanes(
-        ah_ref[0], al_ref[0], lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, collect=collect
+        ah_ref[0], al_ref[0], lnpi_h, lnpi_l, op, keys, vol_pair, N, smooth, P, props, collect=collect, sum_chunk=sum_chunk
     )
     f, i = _pack_rows(out, P, S, props)
     out_f_ref[0] = f
@@ -598,7 +716,7 @@ def _unpack_cst(cst, NPAD, S):
     return lnpi_h, lnpi_l, op, keys, (cst[vbase : vbase + 1], cst[vbase + 1 : vbase + 2])
 
 
-def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool, collect=None):
+def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool, collect=None, sum_chunk=None):
     """EAGER reference path (CPU tests): the same lanes body op-by-op.
 
     Deliberately NOT jitted: XLA:CPU's fusion passes blow up on this DAG
@@ -611,13 +729,13 @@ def _sweep_ds_xla(h: Hist, meta: HistMeta, mu_grid, props: bool, collect=None):
     P, S = meta.max_phases, meta.nspec
     ah, al, cst, N, NPAD, _ = _prep(h, meta, mu_grid, block=B)
     lnpi_h, lnpi_l, op, keys, vol = _unpack_cst(cst, NPAD, S)
-    out = sweep_block_lanes(ah[0], al[0], lnpi_h, lnpi_l, op, keys, vol, N, meta.smooth, P, props, barriers=True, collect=collect)
+    out = sweep_block_lanes(ah[0], al[0], lnpi_h, lnpi_l, op, keys, vol, N, meta.smooth, P, props, barriers=True, collect=collect, sum_chunk=sum_chunk)
     f, i = _pack_rows(out, P, S, props)
     return _unpack(f, i, B, P, S, props)
 
 
-@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "collect"))
-def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, interpret: bool, collect=None):
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "collect", "sum_chunk"))
+def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, interpret: bool, collect=None, sum_chunk=None):
     B = mu_grid.shape[0]
     P, S = meta.max_phases, meta.nspec
     ah, al, cst, N, NPAD, nb = _prep(h, meta, mu_grid, block)
@@ -633,7 +751,7 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
     # constant under x64, and Mosaic rejects i64 in the index-map return
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, NPAD=NPAD, smooth=meta.smooth, P=P, S=S, props=props, collect=collect),
+        partial(_kernel, N=N, NPAD=NPAD, smooth=meta.smooth, P=P, S=S, props=props, collect=collect, sum_chunk=sum_chunk),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -656,23 +774,31 @@ def _sweep_ds_pallas(h: Hist, meta: HistMeta, mu_grid, props: bool, block: int, 
     return _unpack(out_f, out_i, B, P, S, props)
 
 
-# Largest padded bin count the double-single kernels support: the lane
-# block cannot shrink below the 128-lane TPU tile, and at block 128 the
-# ~18-20 live [NPAD, 128] f32 arrays pass the 16 MB scoped-VMEM budget
-# once NPAD reaches 2048 (NPAD=1024 measured 9.3 MB and compiles;
+# Largest padded bin count the UNCHUNKED double-single bodies support:
+# the lane block cannot shrink below the 128-lane TPU tile, and at block
+# 128 the ~18-20 live [NPAD, 128] f32 arrays pass the 16 MB scoped-VMEM
+# budget once NPAD reaches 2048 (NPAD=1024 measured 9.3 MB and compiles;
 # doubling it mirrors the measured 18.66 MB OOM at NPAD=1024/block=256).
 KERNEL_MAX_NPAD = 1024
+# The mu-sweep kernel goes one doubling further via sum-chunked
+# integration (_integrate_chunked): only segmentation's ~10 live
+# [NPAD, 128] arrays remain full-length, which fit at NPAD=2048.
+SWEEP_MAX_NPAD = 2048
 
 
-def kernel_supported(n_bins: int) -> bool:
-    """True when the double-single kernels can hold an [NPAD, 128] working
-    set for this composite in scoped VMEM; auto-engine dispatch uses this
-    so an oversized composite routes to the XLA engine without burning a
-    Mosaic compile or tripping the process-wide kernel-failure memo."""
-    return _npad(n_bins) <= KERNEL_MAX_NPAD
+def kernel_supported(n_bins: int, kernel: str = "generic") -> bool:
+    """True when the double-single kernels can hold this composite's
+    working set in scoped VMEM; auto-engine dispatch uses this so an
+    oversized composite routes to the XLA engine without burning a
+    Mosaic compile or tripping the process-wide kernel-failure memo.
+
+    kernel="sweep" applies the mu-sweep kernel's higher sum-chunked
+    ceiling (VERDICT r3 item 4); the mb/iso extrapolating kernels keep
+    the unchunked limit."""
+    return _npad(n_bins) <= (SWEEP_MAX_NPAD if kernel == "sweep" else KERNEL_MAX_NPAD)
 
 
-def default_block(n_bins: int) -> int:
+def default_block(n_bins: int, max_npad: int = KERNEL_MAX_NPAD) -> int:
     """Lane-block size: 256 lanes, dropping to 128 once the [NPAD, block]
     working set passes ~0.5 MB (the kernels keep ~18-20 such arrays live;
     v5e scoped VMEM is 16 MB — the N=573/NPAD=1024 production composite
@@ -683,21 +809,22 @@ def default_block(n_bins: int) -> int:
     VMEM-OOMs outright) — smaller blocks mean fewer vregs per op for the
     same total work, and the per-block fixed cost is negligible.
 
-    Raises for composites past KERNEL_MAX_NPAD instead of returning a
+    Raises for composites past max_npad (KERNEL_MAX_NPAD, or
+    SWEEP_MAX_NPAD for the sum-chunked sweep) instead of returning a
     block that would VMEM-OOM at Mosaic compile time (the lane tile
     cannot shrink below 128)."""
     npad = _npad(n_bins)
-    if npad > KERNEL_MAX_NPAD:
+    if npad > max_npad:
         raise ValueError(
             "composite too large for the pallas kernels: %d bins pads to "
             "NPAD=%d > %d, whose [NPAD, 128] working set exceeds scoped "
             "VMEM; use engine='xla' (auto dispatch does this itself)"
-            % (n_bins, npad, KERNEL_MAX_NPAD)
+            % (n_bins, npad, max_npad)
         )
     return max(128, min(256, (1 << 17) // npad))
 
 
-def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int | None = None, mode: str | None = None, collect=None):
+def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, block: int | None = None, mode: str | None = None, collect=None, sum_chunk=None):
     """Drop-in for pipeline.mu_sweep_thermo running the fused point
     pipeline as one double-single Pallas kernel (see module docstring).
 
@@ -711,9 +838,15 @@ def mu_sweep_thermo_ds(h: Hist, meta: HistMeta, mu_grid, props: bool = True, blo
     """
     if mode is None:
         mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    npad = _npad(h.lnpi.shape[-1])
+    if sum_chunk is None and npad > KERNEL_MAX_NPAD:
+        # sum-chunked integration: the only mode whose VMEM working set
+        # fits past NPAD=1024 (chunk 512 keeps the per-chunk arrays at
+        # 512x128 f32 = 256 KB each)
+        sum_chunk = 512
     if block is None:
-        block = default_block(h.lnpi.shape[-1])
+        block = default_block(h.lnpi.shape[-1], max_npad=SWEEP_MAX_NPAD)
     mu_grid = jnp.asarray(mu_grid, dtype=jnp.float64)
     if mode == "xla":
-        return _sweep_ds_xla(h, meta, mu_grid, props, collect)
-    return _sweep_ds_pallas(h, meta, mu_grid, props, block, mode == "interpret", collect)
+        return _sweep_ds_xla(h, meta, mu_grid, props, collect, sum_chunk)
+    return _sweep_ds_pallas(h, meta, mu_grid, props, block, mode == "interpret", collect, sum_chunk)

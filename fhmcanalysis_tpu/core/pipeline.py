@@ -140,10 +140,12 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
         if jax.default_backend() == "tpu" and _PALLAS_OK.get("sweep", True):
             from .pallas_sweep import kernel_supported
 
-            # oversized composites (NPAD > 1024) route straight to XLA:
-            # attempting the kernel would ValueError in default_block and
-            # poison the process-wide failure memo for valid sizes
-            use_pallas = kernel_supported(h.lnpi.shape[-1])
+            # oversized composites route straight to XLA: attempting the
+            # kernel would ValueError in default_block and poison the
+            # process-wide failure memo for valid sizes.  The sweep
+            # ceiling is NPAD=2048 (sum-chunked integration, VERDICT r3
+            # item 4); the mb/iso kernels stay at the unchunked 1024
+            use_pallas = kernel_supported(h.lnpi.shape[-1], kernel="sweep")
     if use_pallas:
         from .pallas_sweep import mu_sweep_thermo_ds
 

@@ -188,9 +188,14 @@ def test_oversized_composite_guard(fixture_hist):
 
     assert kernel_supported(31) and kernel_supported(573) and kernel_supported(1024)
     assert not kernel_supported(1025) and not kernel_supported(2048)
+    # the mu-sweep kernel alone goes one doubling further (sum-chunked
+    # integration, VERDICT r3 item 4)
+    assert kernel_supported(1025, kernel="sweep") and kernel_supported(2048, kernel="sweep")
+    assert not kernel_supported(2049, kernel="sweep")
     assert default_block(573) == 128
     with pytest.raises(ValueError, match="too large for the pallas kernels"):
         default_block(1025)
+    assert default_block(1025, max_npad=2048) == 128
 
     # auto dispatch on an oversized composite must fall through to the
     # XLA engine without touching the kernel (no warning, no memo poison)
@@ -202,3 +207,48 @@ def test_oversized_composite_guard(fixture_hist):
     h_big = hh.replace(lnpi=lnpi, op=op, mom=mom)
     out = P.mu_sweep_thermo(h_big, meta, jnp.linspace(-2.0, 7.0, 4), props=True, engine="auto")
     assert bool(jnp.all(out["valid"]))
+
+
+def _big_hist(fixture_hist, n_big):
+    """Synthetic production-scale composite (NPAD > 1024): a smooth
+    two-basin lnPI over n_big bins with the fixture's moment rows
+    interpolated onto the long op grid (shapes and magnitudes realistic;
+    parity does not require physical consistency)."""
+    hh, meta = fixture_hist
+    N = hh.lnpi.shape[-1]
+    x = np.linspace(0.0, 1.0, n_big)
+    lnpi = 120.0 * np.exp(-((x - 0.25) ** 2) / 0.01) + 150.0 * np.exp(-((x - 0.7) ** 2) / 0.02) - 30.0 * x
+    xi = np.linspace(0.0, 1.0, N)
+    mom2d = np.asarray(hh.mom).reshape(meta.n_addr, N)
+    mom_b = np.stack([np.interp(x, xi, mom2d[a]) for a in range(meta.n_addr)])
+    import jax.numpy as jnp
+
+    return hh.replace(
+        lnpi=jnp.asarray(lnpi),
+        op=jnp.arange(n_big, dtype=hh.op.dtype),
+        mom=jnp.asarray(mom_b),
+    ), meta
+
+
+def test_chunked_equals_unchunked_small(fixture_hist):
+    """sum_chunk reassociates only the pair sums; on the fixture it is
+    bitwise identical to the unchunked body (segmentation and maxima are
+    exact by construction)."""
+    hh, meta = fixture_hist
+    mus = np.linspace(-2.0, 7.0, 64)
+    a = mu_sweep_thermo_ds(hh, meta, mus, mode="xla")
+    b = mu_sweep_thermo_ds(hh, meta, mus, mode="xla", sum_chunk=16)
+    for k in ("left", "right", "mask", "n_phases", "valid"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+    for k in ("fe", "ntot", "u", "density"):
+        d = np.where(np.asarray(a["mask"]), np.asarray(a[k]) - np.asarray(b[k]), 0.0)
+        assert np.abs(d).max() < 1e-11, (k, np.abs(d).max())
+
+
+def test_big_composite_parity_npad2048(fixture_hist):
+    """NPAD=2048 composite through the sum-chunked kernel body vs the f64
+    XLA pipeline (VERDICT r3 item 4 done-criterion: pallas/XLA parity at
+    N ~ 2048; the on-chip throughput point lives in tests_tpu)."""
+    h_big, meta = _big_hist(fixture_hist, 1400)
+    mus = np.linspace(4.99, 5.01, 48)
+    _compare(h_big, meta, mus, props=True)
