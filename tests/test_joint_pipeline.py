@@ -238,10 +238,13 @@ def test_add_after_make_invalidates_assembly():
 
 
 def test_empty_state_batch():
-    """S=0 target lists return empty, correctly shaped arrays (ADVICE r3:
-    _segment_stream used to crash on np.concatenate([]))."""
-    jh = _two_basin_joint()
-    out = joint_state_sweep(jh, BETA, MU_REF, np.zeros((0, 2)), nnebr=1, max_peaks=4)
-    assert out["fe"].shape == (0, 5)
-    assert out["lnpi"].shape[0] == 0 and out["labels"].shape[0] == 0
-    assert out["fail_code"].shape == (0,) and out["local_maxima"] == []
+    """S=0 target lists return empty, correctly shaped arrays through
+    BOTH watershed engines (ADVICE r3: _segment_stream used to crash on
+    np.concatenate([]))."""
+    for eng in ("host", "device"):
+        jh = _two_basin_joint()
+        out = joint_state_sweep(jh, BETA, MU_REF, np.zeros((0, 2)), nnebr=1, max_peaks=4,
+                                segment_engine=eng)
+        assert out["fe"].shape == (0, 5), eng
+        assert out["lnpi"].shape[0] == 0 and out["labels"].shape[0] == 0, eng
+        assert out["fail_code"].shape == (0,) and out["local_maxima"] == [], eng
