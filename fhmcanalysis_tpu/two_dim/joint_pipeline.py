@@ -31,6 +31,21 @@ from .pore_pipeline import _footprint, _segment_batch_host, _segment_stream
 
 __all__ = ["joint_state_sweep"]
 
+
+def _joint_surface_host(lnpi_raw, op1, op2, beta, dmu1, dmu2, valid):
+    """Numpy mirror of segment2d.joint_surface_batch's lnpi output (same
+    op order, true f64) — the joint-surface analog of
+    pore_pipeline._pore_surface_host, letting the device engine return
+    surfaces while downloading only the int8 labels."""
+    n1 = np.asarray(op1, dtype=np.float64)[:, None]
+    n2 = np.asarray(op2, dtype=np.float64)[None, :] - n1
+    dmu1 = np.asarray(dmu1, dtype=np.float64)[:, None, None]
+    dmu2 = np.asarray(dmu2, dtype=np.float64)[:, None, None]
+    ln = np.where(valid[None], lnpi_raw[None] + beta * (dmu1 * n1[None] + dmu2 * n2[None]), -np.inf)
+    m = np.max(np.where(valid[None], ln, -np.inf), axis=(1, 2), keepdims=True)
+    s = np.sum(np.exp(np.where(valid[None], ln, -np.inf) - m), axis=(1, 2), keepdims=True)
+    return ln - (m + np.log(s))
+
 _JIT = None
 
 
@@ -149,7 +164,12 @@ def joint_state_sweep(
         # vs 317 st/s on the 96x385 S=64 sweep)
         fetch = [{k: seg[k] for k in ("n_labels", "peak_sat", "peak_rc")}, core]
         if return_surfaces:
-            fetch.append((lnpi_dev, seg["labels"]))
+            # labels ride the wire as int8 (phase slots 0..P <= 127) and
+            # lnpi is NOT downloaded at all — the closed-form surface is
+            # rebuilt host-side (_joint_surface_host); see
+            # pore_state_sweep's device path for the sizing
+            lab = seg["labels"]
+            fetch.append(lab.astype("int8") if P <= 127 else lab)
         got = jax.device_get(fetch)
         segh, core = got[0], got[1]
         n_labels = segh["n_labels"].astype(np.int64)
@@ -157,7 +177,8 @@ def joint_state_sweep(
         peak_rc = segh["peak_rc"]
         local_maxima = [peak_rc[s, : n_labels[s]].astype(np.int64) for s in range(S)]
         if return_surfaces:
-            lnpi_b, labels_b = got[2]
+            labels_b = got[2].astype(np.int32, copy=False)
+            lnpi_b = _joint_surface_host(lnpi_raw, op1, op2, float(beta), dmu1[:S], dmu2[:S], valid)
         else:
             lnpi_b, labels_b = lnpi_dev, seg["labels"]
     else:

@@ -96,6 +96,24 @@ def _footprint(len_H: int, len_N: int, nnebr: int):
     return np.ones((fp_x, fp_y))
 
 
+def _pore_surface_host(lnpi_raw, h_vals, fh_vals, p_vals, A, beta_vals, valid):
+    """Numpy mirror of segment2d.pore_surface_batch's lnpi output (same
+    op order, true f64).  Lets the device engine honor
+    ``return_surfaces=True`` without downloading the [S, H, N] f64
+    buffer: only the int8 labels leave the device and the closed-form
+    row shift + masked normalization is rebuilt host-side.  Matches the
+    device values exactly on CPU and to magnitude*2^-48 of the
+    TPU-emulated f64 the labels were computed from — far inside the
+    1e-12 engine-parity bar."""
+    p = np.asarray(p_vals, dtype=np.float64)[:, None]
+    beta = np.asarray(beta_vals, dtype=np.float64)[:, None]
+    shift = -beta * (fh_vals[None, :] + p * A * h_vals[None, :]) - lnpi_raw[None, :, 0]
+    ln = lnpi_raw[None] + shift[:, :, None]
+    m = np.max(np.where(valid[None], ln, -np.inf), axis=(1, 2), keepdims=True)
+    s = np.sum(np.exp(np.where(valid[None], ln, -np.inf) - m), axis=(1, 2), keepdims=True)
+    return ln - (m + np.log(s))
+
+
 def _segment_batch_host(x_b, lnpi_b, valid, fp, nnebr, P):
     """Peak finding + watershed flood for a batch of independent states.
 
@@ -227,9 +245,12 @@ def pore_state_sweep(
     return_surfaces : when False the [S, H, N] ``lnpi``/``labels`` values
                  of the device engine stay as device arrays instead of
                  being fetched to numpy — state sweeps consume the small
-                 per-phase outputs, and skipping the ~28 MB/64-state
-                 surface download is most of the device engine's win.
-                 (The host engine materializes them anyway.)
+                 per-phase outputs only.  When True the device engine
+                 downloads just the int8 labels and rebuilds the
+                 closed-form lnpi surfaces host-side
+                 (_pore_surface_host), so surfaces cost ~2.4 MB instead
+                 of 28 MB at S=64.  (The host engine materializes them
+                 anyway.)
 
     Returns a dict of slot-padded host arrays (P = max_peaks + 1 slots):
       prop_names   list[K]
@@ -322,7 +343,13 @@ def pore_state_sweep(
         # the whole on-device computation (measured 127 vs 317 st/s)
         fetch = [{k: seg[k] for k in ("n_labels", "peak_sat", "peak_rc")}, core]
         if return_surfaces:
-            fetch.append((lnpi_dev, seg["labels"]))
+            # labels ride the wire as int8 (phase slots 0..P <= 127) and
+            # lnpi is NOT downloaded at all — the closed-form surface is
+            # rebuilt host-side (_pore_surface_host), shrinking the
+            # +surfaces fetch ~12x (28 MB -> 2.4 MB at S=64 on the
+            # 96x385 bench surface)
+            lab = seg["labels"]
+            fetch.append(lab.astype("int8") if P <= 127 else lab)
         got = jax.device_get(fetch)
         segh, core = got[0], got[1]
         n_labels = segh["n_labels"].astype(np.int64)
@@ -330,7 +357,10 @@ def pore_state_sweep(
         peak_rc = segh["peak_rc"]
         local_maxima = [peak_rc[s, : n_labels[s]].astype(np.int64) for s in range(S)]
         if return_surfaces:
-            lnpi_b, labels_b = got[2]
+            labels_b = got[2].astype(np.int32, copy=False)
+            lnpi_b = _pore_surface_host(
+                lnpi_raw, h_vals, fh_vals, p_vals[:S], float(A), beta_vals[:S], valid
+            )
         else:
             lnpi_b, labels_b = lnpi_dev, seg["labels"]
     else:

@@ -136,6 +136,34 @@ class TestSweepEngines:
         for k in ("lnpi", "fe", "ave", "act_kT", "act_kT_diff"):
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-12, err_msg=k)
 
+    def test_host_surface_rebuild_matches_device_builders(self):
+        """The device engine's returned lnpi is rebuilt host-side from the
+        closed form (only int8 labels are downloaded); the numpy mirrors
+        must match the device surface builders to f64 rounding."""
+        from fhmcanalysis_tpu.two_dim.joint_pipeline import _joint_surface_host
+        from fhmcanalysis_tpu.two_dim.pore_pipeline import _pore_surface_host
+
+        rng = np.random.RandomState(11)
+        H, N = 9, 17
+        lnpi_raw = rng.randn(H, N) * 3.0
+        valid = np.arange(N)[None, :] <= np.clip(rng.randint(N // 2, N, size=H), 1, N - 1)[:, None]
+        lnpi_raw[~valid] = -np.inf
+        op1 = np.arange(H, dtype=float)
+        op2 = np.arange(N, dtype=float) + 0.0
+        dmu1, dmu2 = rng.randn(5), rng.randn(5)
+        dev = np.asarray(s2d.joint_surface_batch(lnpi_raw, op1, op2, 1.1, dmu1, dmu2, jnp.asarray(valid))[0])
+        host = _joint_surface_host(lnpi_raw, op1, op2, 1.1, dmu1, dmu2, valid)
+        np.testing.assert_allclose(host[:, valid], dev[:, valid], rtol=0, atol=1e-12)
+        assert (host[:, ~valid] == -np.inf).all()
+
+        fh_vals = 0.3 * op1**2
+        p_b, beta_b = rng.rand(5), 0.8 + 0.4 * rng.rand(5)
+        dev_p = np.asarray(
+            s2d.pore_surface_batch(lnpi_raw, op1, fh_vals, p_b, 1.0, beta_b, jnp.asarray(valid))[0]
+        )
+        host_p = _pore_surface_host(lnpi_raw, op1, fh_vals, p_b, 1.0, beta_b, valid)
+        np.testing.assert_allclose(host_p[:, valid], dev_p[:, valid], rtol=0, atol=1e-12)
+
     def test_return_surfaces_lazy(self):
         targets = np.array([[0.2, -0.3]])
         c = joint_state_sweep(_two_basin_joint(), BETA, MU_REF, targets, nnebr=1, max_peaks=4,
