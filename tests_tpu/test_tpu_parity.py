@@ -448,3 +448,10 @@ def test_device_watershed_on_chip():
     for k in ("fe", "ave", "act_kT", "act_kT_diff"):
         d = np.abs(np.asarray(a[k]) - np.asarray(b[k])).max()
         assert d < BAR, (k, d)
+    # return_surfaces=True (the default above) exercises the int8-labels
+    # download + host-side closed-form lnpi rebuild; pin the rebuilt
+    # surface against the host engine's device download at the bar
+    la, lb = np.asarray(a["lnpi"]), np.asarray(b["lnpi"])
+    fin = np.isfinite(lb)
+    assert (np.isfinite(la) == fin).all()
+    assert np.abs(la[fin] - lb[fin]).max() < BAR

@@ -74,8 +74,15 @@ def main():
     p_dev, _ = timed("pore prod device (no surfaces)", lambda: pore_state_sweep(
         jhp, fh.free_energy, ps2, pb2, A=1.0, nnebr=1, max_peaks=4,
         segment_engine="device", return_surfaces=False), S2)
+    p_devs, _ = timed("pore prod device (+surfaces)", lambda: pore_state_sweep(
+        jhp, fh.free_energy, ps2, pb2, A=1.0, nnebr=1, max_peaks=4,
+        segment_engine="device", return_surfaces=True), S2)
     p_host, _ = timed("pore prod host engine", lambda: pore_state_sweep(
         jhp, fh.free_energy, ps2, pb2, A=1.0, nnebr=1, max_peaks=4, segment_engine="host"), S2)
+    fin = np.isfinite(np.asarray(p_host["lnpi"]))
+    np.testing.assert_allclose(
+        np.asarray(p_devs["lnpi"])[fin], np.asarray(p_host["lnpi"])[fin], rtol=0, atol=1e-10
+    )
     for k in ("fe", "ave"):
         np.testing.assert_allclose(np.asarray(p_dev[k]), np.asarray(p_host[k]), rtol=0, atol=1e-10, err_msg=k)
     np.testing.assert_array_equal(np.asarray(p_dev["n_phases"]), np.asarray(p_host["n_phases"]))
