@@ -408,6 +408,15 @@ def hillclimb_segment(lnpi, valid, fp_shape, max_peaks_slots: int):
       peak_lnpi f64[P]     lnPI at each ranked peak (0 pad)
       peak_sat  bool[]     more maxima found than P slots
       peak_rc   i32[P, 2]  ranked peak (row, col); (-1, -1) pad
+      elev_tie  bool[]     some valid finite cell has an EXACTLY-equal
+                           elevation neighbor inside its footprint window
+                           — the one regime where this engine and the
+                           host priority flood legally diverge (flood
+                           insertion order vs lowest-flat-index; see the
+                           module note above and pore_hist.pyx:414-423).
+                           Pipelines surface it as fail_code 4 and can
+                           auto-fallback to the host flood
+                           (tie_fallback=True).
     """
     lnpi = jnp.asarray(lnpi)
     H, N = lnpi.shape
@@ -420,6 +429,32 @@ def hillclimb_segment(lnpi, valid, fp_shape, max_peaks_slots: int):
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(N)[None, :]
     flat = (rows * N + cols).astype(jnp.int32)
+
+    # --- exact-elevation-tie detector (divergence guard) ---
+    # Equality is symmetric, so each unordered pair is checked once via
+    # the half footprint {(0, +dj)} U {(+di, any dj)} — rx + ry*(2rx+1)
+    # rolled compares, cheap VPU work next to the argmax pass.  -inf==-inf
+    # between never-visited cells inside the valid mask is excluded
+    # (fin): the flood elevation is undefined there anyway (x = lnpi-min
+    # is NaN when min is -inf).  For extreme-aspect footprints past the
+    # unroll budget, a sorted-adjacent duplicate scan over ALL valid
+    # finite cells is a strict SUPERSET of the footprint check —
+    # conservative (may flag non-interacting far-apart duplicates), never
+    # silent.
+    fin = valid & jnp.isfinite(lnpi)
+    if (2 * ry + 1) * (2 * rx + 1) <= 441:
+        elev_tie = jnp.bool_(False)
+        half = [(0, dj) for dj in range(1, rx + 1)] + [
+            (di, dj) for di in range(1, ry + 1) for dj in range(-rx, rx + 1)
+        ]
+        for di, dj in half:
+            nv = jnp.roll(e, (-di, -dj), (0, 1))
+            nf = jnp.roll(fin, (-di, -dj), (0, 1))
+            inb = (rows + di < H) & (cols + dj >= 0) & (cols + dj < N)  # di >= 0
+            elev_tie = elev_tie | jnp.any(fin & nf & inb & (e == nv))
+    else:
+        v = jnp.sort(jnp.where(fin, lnpi, jnp.inf).ravel())
+        elev_tie = jnp.any((v[1:] == v[:-1]) & jnp.isfinite(v[1:]))
 
     def _fold(best_v, best_i, nv, ni):
         take = (nv > best_v) | ((nv == best_v) & (ni < best_i) & (nv > neg))
@@ -529,6 +564,7 @@ def hillclimb_segment(lnpi, valid, fp_shape, max_peaks_slots: int):
             jnp.stack([peak_idx // N, peak_idx % N], axis=1),
             -1,
         ).astype(jnp.int32),
+        "elev_tie": elev_tie,
     }
 
 

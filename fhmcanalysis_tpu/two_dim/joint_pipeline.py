@@ -27,7 +27,7 @@ import copy
 import numpy as np
 
 from ..core import segment2d as _s2d
-from .pore_pipeline import _footprint, _segment_batch_host, _segment_stream
+from .pore_pipeline import _footprint, _segment_batch_host, _segment_stream, _tie_fallback
 
 __all__ = ["joint_state_sweep"]
 
@@ -36,7 +36,13 @@ def _joint_surface_host(lnpi_raw, op1, op2, beta, dmu1, dmu2, valid):
     """Numpy mirror of segment2d.joint_surface_batch's lnpi output (same
     op order, true f64) — the joint-surface analog of
     pore_pipeline._pore_surface_host, letting the device engine return
-    surfaces while downloading only the int8 labels."""
+    surfaces while downloading only the int8 labels.
+
+    Matches the device values exactly on CPU and to magnitude*2^-48 of
+    the TPU-emulated f64 the labels/fe/ave were computed from, so near
+    exact-tie cells the returned surface and labels can be mutually
+    inconsistent at the 2^-48 level — labels come from the device
+    surface, not this rebuilt one (same caveat as _pore_surface_host)."""
     n1 = np.asarray(op1, dtype=np.float64)[:, None]
     n2 = np.asarray(op2, dtype=np.float64)[None, :] - n1
     dmu1 = np.asarray(dmu1, dtype=np.float64)[:, None, None]
@@ -66,7 +72,7 @@ def _jits():
 
 def joint_state_sweep(
     joint_hist, beta, mu_ref, mu_targets, nnebr=1, max_peaks=10, mesh=None,
-    segment_engine="auto", return_surfaces=True,
+    segment_engine="auto", return_surfaces=True, tie_fallback=False,
 ):
     """Phase analysis of lnPI(N_1, N_tot) over S chemical-potential targets.
 
@@ -81,15 +87,18 @@ def joint_state_sweep(
                  semantics; the footprint scales with the surface shape)
     mesh       : optional jax.sharding.Mesh — shards the S state axis for
                  both device stages exactly as pore_state_sweep does.
-    segment_engine, return_surfaces : watershed engine + surface-fetch
-                 knobs, pore_state_sweep semantics ("device" = the whole
-                 sweep as one launch via the fixed-shape steepest-ascent
+    segment_engine, return_surfaces, tie_fallback : watershed engine +
+                 surface-fetch + exact-elevation-tie-fallback knobs,
+                 pore_state_sweep semantics ("device" = the whole sweep
+                 as one launch via the fixed-shape steepest-ascent
                  watershed; "host" = reference-exact priority flood;
-                 "auto" = device on TPU).
+                 "auto" = device on TPU; tie_fallback re-runs tie-flagged
+                 states through the host flood instead of fail_code 4).
 
     Returns the pore_state_sweep dict schema (slot-padded, P =
     max_peaks + 1): prop_names, ave [S,P,K], fe [S,P], act_kT,
-    act_kT_diff, n_phases, phase_ok, ridge_ok, fail_code, lnpi, labels,
+    act_kT_diff, n_phases, phase_ok, ridge_ok, fail_code (incl. code 4 =
+    unresolved device-engine elevation tie), elev_tie, lnpi, labels,
     local_maxima.
     """
     # a made histogram (or from_json load) is used read-only; only an
@@ -162,7 +171,7 @@ def joint_state_sweep(
         # ONE batched transfer for every host-needed output (each
         # separate np.asarray pays the ~26 ms tunnel RPC; measured 127
         # vs 317 st/s on the 96x385 S=64 sweep)
-        fetch = [{k: seg[k] for k in ("n_labels", "peak_sat", "peak_rc")}, core]
+        fetch = [{k: seg[k] for k in ("n_labels", "peak_sat", "peak_rc", "elev_tie")}, core]
         if return_surfaces:
             # labels ride the wire as int8 (phase slots 0..P <= 127) and
             # lnpi is NOT downloaded at all — the closed-form surface is
@@ -175,12 +184,27 @@ def joint_state_sweep(
         n_labels = segh["n_labels"].astype(np.int64)
         peak_sat = segh["peak_sat"]
         peak_rc = segh["peak_rc"]
+        elev_tie = np.asarray(segh["elev_tie"], dtype=bool)
         local_maxima = [peak_rc[s, : n_labels[s]].astype(np.int64) for s in range(S)]
         if return_surfaces:
             labels_b = got[2].astype(np.int32, copy=False)
             lnpi_b = _joint_surface_host(lnpi_raw, op1, op2, float(beta), dmu1[:S], dmu2[:S], valid)
         else:
             lnpi_b, labels_b = lnpi_dev, seg["labels"]
+        flagged = np.flatnonzero(elev_tie[:S])
+        if tie_fallback and flagged.size:
+            # reference-exact host flood re-run + splice for tie-flagged
+            # states (see pore_state_sweep's device path)
+            lnpi_flag = _joint_surface_host(
+                lnpi_raw, op1, op2, float(beta), dmu1[flagged], dmu2[flagged], valid
+            )
+            n_labels, peak_sat, labels_b = _tie_fallback(
+                flagged, lnpi_flag, valid, edge_idx, props, fp, nnebr, P,
+                core, n_labels, peak_sat, local_maxima, labels_b,
+            )
+            tie_unresolved = np.zeros(S, dtype=bool)
+        else:
+            tie_unresolved = elev_tie[:S]
     else:
         # stage 1: all S reweighted surfaces in one launch.  lnpi_dev
         # stays on device for stage 2 (no re-upload); the host download
@@ -210,6 +234,9 @@ def joint_state_sweep(
             lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
             max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
         )
+        # host flood == reference semantics; no tie divergence possible
+        elev_tie = np.zeros(len(dmu1), dtype=bool)
+        tie_unresolved = np.zeros(S, dtype=bool)
     if core and not isinstance(next(iter(core.values())), np.ndarray):
         import jax
 
@@ -221,10 +248,11 @@ def joint_state_sweep(
     ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)
     out["ridge_ok"] = np.all(ridge >= _PORE_CUTOFF, axis=1)
     out["fail_code"] = np.select(
-        [peak_sat[:S], n_labels[:S] == 0, ~out["ridge_ok"]],
-        [np.int32(3), np.int32(2), np.int32(1)],
+        [peak_sat[:S], n_labels[:S] == 0, tie_unresolved, ~out["ridge_ok"]],
+        [np.int32(3), np.int32(2), np.int32(4), np.int32(1)],
         default=np.int32(0),
     ).astype(np.int32)
+    out["elev_tie"] = np.asarray(elev_tie[:S], dtype=bool)
     out["prop_names"] = prop_names
     out["n_phases"] = n_labels[:S]
     out["lnpi"] = lnpi_b[:S]

@@ -214,9 +214,52 @@ def _segment_stream(lnpi_dev, valid, fp, nnebr, P, chunk=16):
     return labels_b, n_labels, peak_lnpi, peak_sat, local_maxima, lnpi_b, labels_dev
 
 
+def _tie_fallback(flagged, lnpi_flag, valid, edge_idx, props, fp, nnebr, P, core, n_labels, peak_sat, local_maxima, labels_b):
+    """Re-run tie-flagged states through the reference-exact host flood
+    (imaging.py priority flood, pore_hist.pyx:414-423 semantics) + the
+    stage-2 phase launch, splicing the results over the device-engine
+    outputs in place.  Shared by the pore and joint sweeps; the caller
+    supplies the host-rebuilt true-f64 surfaces for the flagged states.
+
+    Returns (n_labels, peak_sat, labels_b) updated — numpy splices go
+    through writable copies (device_get views are read-only), device
+    label arrays through a functional .at[].set."""
+    import jax
+
+    def _splice(dst, src):
+        dst = np.asarray(dst)
+        if not dst.flags.writeable:
+            dst = dst.copy()
+        dst[flagged] = np.asarray(src)
+        return dst
+
+    mn = np.min(np.where(valid, lnpi_flag, np.inf), axis=(1, 2))
+    x_f = np.where(valid, lnpi_flag - mn[:, None, None], 0.0)
+    lab_f, nl_f, pk_f, sat_f, lm_f = _segment_batch_host(x_f, lnpi_flag, valid, fp, nnebr, P)
+    core_f = jax.device_get(
+        _jits()["phase"](
+            lnpi_flag, lab_f, valid, edge_idx, props, pk_f, nl_f,
+            max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
+        )
+    )
+    for k in core:
+        core[k] = _splice(core[k], core_f[k])
+    n_labels = _splice(n_labels, nl_f)
+    peak_sat = _splice(peak_sat, sat_f)
+    for j, s in enumerate(flagged):
+        local_maxima[s] = lm_f[j]
+    if isinstance(labels_b, np.ndarray):
+        labels_b = _splice(labels_b, lab_f)
+    else:
+        import jax.numpy as jnp
+
+        labels_b = labels_b.at[jnp.asarray(np.asarray(flagged))].set(lab_f)
+    return n_labels, peak_sat, labels_b
+
+
 def pore_state_sweep(
     joint_hist, fh, p_vals, beta_vals, A, nnebr=1, max_peaks=10, mesh=None,
-    segment_engine="auto", return_surfaces=True,
+    segment_engine="auto", return_surfaces=True, tie_fallback=False,
 ):
     """Phase analysis of lnPI(h, N_tot) over S pore state points.
 
@@ -251,6 +294,14 @@ def pore_state_sweep(
                  (_pore_surface_host), so surfaces cost ~2.4 MB instead
                  of 28 MB at S=64.  (The host engine materializes them
                  anyway.)
+    tie_fallback : device engine only — when True, states whose surface
+                 has an exact elevation tie inside the footprint window
+                 (elev_tie, the one regime where the device watershed and
+                 the reference flood legally diverge) are transparently
+                 re-run through the reference-exact host flood + a stage-2
+                 re-launch and spliced over the device results; fail_code
+                 4 is then never raised.  When False (default) flagged
+                 states keep the device answer and report fail_code 4.
 
     Returns a dict of slot-padded host arrays (P = max_peaks + 1 slots):
       prop_names   list[K]
@@ -269,6 +320,15 @@ def pore_state_sweep(
                                   found (segmentation empty) / 3 peak
                                   slots saturated (more maxima than the
                                   max_peaks+1 padding — raise max_peaks)
+                                  / 4 exact elevation tie on the device
+                                  engine without tie_fallback (labels may
+                                  legally differ from the reference
+                                  flood — re-run with tie_fallback=True
+                                  or segment_engine="host")
+      elev_tie     bool[S]        device engine's per-state tie detector
+                                  (informational even when tie_fallback
+                                  resolved it; always False on the host
+                                  engine, whose flood IS the reference)
       lnpi         f64[S, H, N]   normalized surfaces
       labels       i32[S, H, N]   watershed labels
       local_maxima list[S] of i64[n_phases_s, 2] peak coordinates
@@ -341,7 +401,7 @@ def pore_state_sweep(
         # separate np.asarray pays the ~26 ms tunnel RPC, and the sweep
         # produces ~12 small arrays — fetched singly they cost more than
         # the whole on-device computation (measured 127 vs 317 st/s)
-        fetch = [{k: seg[k] for k in ("n_labels", "peak_sat", "peak_rc")}, core]
+        fetch = [{k: seg[k] for k in ("n_labels", "peak_sat", "peak_rc", "elev_tie")}, core]
         if return_surfaces:
             # labels ride the wire as int8 (phase slots 0..P <= 127) and
             # lnpi is NOT downloaded at all — the closed-form surface is
@@ -355,6 +415,7 @@ def pore_state_sweep(
         n_labels = segh["n_labels"].astype(np.int64)
         peak_sat = segh["peak_sat"]
         peak_rc = segh["peak_rc"]
+        elev_tie = np.asarray(segh["elev_tie"], dtype=bool)
         local_maxima = [peak_rc[s, : n_labels[s]].astype(np.int64) for s in range(S)]
         if return_surfaces:
             labels_b = got[2].astype(np.int32, copy=False)
@@ -363,6 +424,23 @@ def pore_state_sweep(
             )
         else:
             lnpi_b, labels_b = lnpi_dev, seg["labels"]
+        flagged = np.flatnonzero(elev_tie[:S])
+        if tie_fallback and flagged.size:
+            # re-run the tie-flagged states through the reference-exact
+            # host priority flood (flood insertion order is defined there,
+            # pore_hist.pyx:414-423) and splice the results in place;
+            # those states are now reference-exact, so fail_code 4 is not
+            # raised for them (elev_tie stays True for observability)
+            lnpi_flag = _pore_surface_host(
+                lnpi_raw, h_vals, fh_vals, p_vals[flagged], float(A), beta_vals[flagged], valid
+            )
+            n_labels, peak_sat, labels_b = _tie_fallback(
+                flagged, lnpi_flag, valid, edge_idx, props, fp, nnebr, P,
+                core, n_labels, peak_sat, local_maxima, labels_b,
+            )
+            tie_unresolved = np.zeros(S, dtype=bool)
+        else:
+            tie_unresolved = elev_tie[:S]
     else:
         # stage 1: all S surfaces in one launch (sharded over S with a
         # mesh).  lnpi_dev stays on device for stage 2 (no re-upload);
@@ -394,6 +472,10 @@ def pore_state_sweep(
             lnpi_dev, labels_dev, valid, edge_idx, props, peak_dev, nlab_dev,
             max_phases=P, boundary_engine=_s2d.BOUNDARY_SEGMENT_ENGINE,
         )
+        # the host flood IS the reference semantics, tie or not: flood
+        # insertion order is defined there, so nothing can diverge
+        elev_tie = np.zeros(len(p_vals), dtype=bool)
+        tie_unresolved = np.zeros(S, dtype=bool)
 
     if core and not isinstance(next(iter(core.values())), np.ndarray):
         import jax
@@ -404,10 +486,11 @@ def pore_state_sweep(
     ridge = np.where(out["phase_ok"], out["ridge_diff"], np.inf)
     out["ridge_ok"] = np.all(ridge >= _PORE_CUTOFF, axis=1)
     out["fail_code"] = np.select(
-        [peak_sat[:S], n_labels[:S] == 0, ~out["ridge_ok"]],
-        [np.int32(3), np.int32(2), np.int32(1)],
+        [peak_sat[:S], n_labels[:S] == 0, tie_unresolved, ~out["ridge_ok"]],
+        [np.int32(3), np.int32(2), np.int32(4), np.int32(1)],
         default=np.int32(0),
     ).astype(np.int32)
+    out["elev_tie"] = np.asarray(elev_tie[:S], dtype=bool)
     out["prop_names"] = prop_names
     out["n_phases"] = n_labels[:S]
     out["lnpi"] = lnpi_b[:S]

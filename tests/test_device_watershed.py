@@ -108,6 +108,158 @@ def test_no_peaks_surface():
     assert (np.asarray(out["labels"]) == 0).all()
 
 
+class TestElevTieDetector:
+    """hillclimb_segment's exact-elevation-tie flag (VERDICT r4 item 1):
+    the ONE regime where the device engine and the reference flood
+    legally diverge must be detectable, never silent."""
+
+    def _base(self):
+        rng = np.random.RandomState(19)
+        H, N = 20, 30
+        lnpi = _rand_surface(rng, H, N, 3)  # tilt makes every value distinct
+        valid = np.ones((H, N), bool)
+        fp = _footprint(H, N, 1)  # (5, 3): ry=2, rx=1
+        return lnpi, valid, fp
+
+    def _tie(self, lnpi, valid, fp_shape, P=4):
+        out = s2d.hillclimb_segment(jnp.asarray(lnpi), jnp.asarray(valid), fp_shape, P)
+        return bool(out["elev_tie"])
+
+    def test_distinct_surface_not_flagged(self):
+        lnpi, valid, fp = self._base()
+        assert not self._tie(lnpi, valid, tuple(fp.shape))
+
+    def test_adjacent_duplicate_flagged(self):
+        lnpi, valid, fp = self._base()
+        l2 = lnpi.copy()
+        l2[5, 6] = l2[5, 5]  # horizontal neighbor, dj=1 <= rx
+        assert self._tie(l2, valid, tuple(fp.shape))
+
+    def test_footprint_interior_duplicate_flagged(self):
+        lnpi, valid, fp = self._base()
+        l2 = lnpi.copy()
+        # fp is (3, 5): ry=1, rx=2 — take di=1, dj=-2 (negative-dj half)
+        l2[6, 3] = l2[5, 5]
+        assert self._tie(l2, valid, tuple(fp.shape))
+
+    def test_far_duplicate_not_flagged(self):
+        # equal values farther apart than the footprint never meet in a
+        # neighborhood comparison: no divergence, no flag
+        lnpi, valid, fp = self._base()
+        l2 = lnpi.copy()
+        l2[15, 25] = l2[2, 2]
+        assert not self._tie(l2, valid, tuple(fp.shape))
+
+    def test_invalid_cells_excluded(self):
+        lnpi, valid, fp = self._base()
+        l2 = lnpi.copy()
+        l2[5, 6] = l2[5, 5]
+        v2 = valid.copy()
+        v2[5, 6] = False  # the tied neighbor is outside the mask
+        assert not self._tie(l2, v2, tuple(fp.shape))
+        # two -inf cells inside the mask are not an elevation tie either
+        l3 = lnpi.copy()
+        l3[3, 3] = l3[3, 4] = -np.inf
+        assert not self._tie(l3, valid, tuple(fp.shape))
+
+    def test_sort_fallback_superset(self):
+        # footprints past the unroll budget use the global duplicate scan:
+        # a strict superset (far-apart duplicates flag too), never silent
+        lnpi, valid, _ = self._base()
+        assert not self._tie(lnpi, valid, (23, 23))
+        l2 = lnpi.copy()
+        l2[15, 25] = l2[2, 2]
+        assert self._tie(l2, valid, (23, 23))
+
+
+def _tied_pore_joint():
+    """_two_hill_joint with an exact within-row plateau pair: the pore
+    build's shift is constant along a row, so the raw tie survives every
+    (p, beta) state."""
+    jh = _two_hill_joint()
+    jh.make()
+    ln = np.asarray(jh.data["ln(PI)"], dtype=float)
+    ln[6, 8] = ln[6, 7]
+    jh.data["ln(PI)"] = ln
+    return jh
+
+
+class TestTieGuard:
+    """fail_code 4 + tie_fallback on both 2-D sweeps (VERDICT r4 item 1):
+    an engineered plateau surface must be flagged, and the opt-in
+    fallback must splice in the reference-exact host-flood answer."""
+
+    EXACT = ("labels", "n_phases", "phase_ok", "ridge_ok")
+    CLOSE = ("lnpi", "fe", "ave", "act_kT", "act_kT_diff")
+
+    def test_pore_tie_flag_and_fallback(self):
+        jh = _tied_pore_joint()
+        fh = free_energy_profile.polynomial([0.1, 0.0])
+        p_vals = np.array([0.0, 0.05, 0.1])
+        beta_vals = np.array([1.0, 1.0, 0.9])
+        host = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0,
+                                nnebr=1, max_peaks=4, segment_engine="host")
+        assert not host["elev_tie"].any()  # host flood IS the reference
+        assert (host["fail_code"] != 4).all()
+
+        dev = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0,
+                               nnebr=1, max_peaks=4, segment_engine="device")
+        assert dev["elev_tie"].all(), "within-row plateau must flag every state"
+        assert (dev["fail_code"][host["fail_code"] == 0] == 4).all(), \
+            "otherwise-clean tied states must report code 4"
+
+        fb = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0,
+                              nnebr=1, max_peaks=4, segment_engine="device",
+                              tie_fallback=True)
+        assert fb["elev_tie"].all()  # informational flag survives
+        assert (fb["fail_code"] != 4).all()
+        np.testing.assert_array_equal(fb["fail_code"], host["fail_code"])
+        for k in self.EXACT:
+            np.testing.assert_array_equal(np.asarray(fb[k]), np.asarray(host[k]), err_msg=k)
+        for k in self.CLOSE:
+            np.testing.assert_allclose(np.asarray(fb[k]), np.asarray(host[k]), rtol=0, atol=1e-12, err_msg=k)
+        for s in range(len(p_vals)):
+            np.testing.assert_array_equal(fb["local_maxima"][s], host["local_maxima"][s])
+
+    def test_joint_tie_flag_and_fallback(self):
+        jh = _two_basin_joint()
+        jh.make()
+        ln = np.asarray(jh.data["ln(PI)"], dtype=float)
+        ln[6, 10] = ln[6, 9]  # within-row plateau pair
+        jh.data["ln(PI)"] = ln
+        # dmu2 = 0 keeps the within-row reweight constant: tie survives
+        targets = np.array([[MU_REF[0] + 0.2, MU_REF[1]], [MU_REF[0] - 0.1, MU_REF[1]]])
+        host = joint_state_sweep(jh, BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                                 segment_engine="host")
+        assert not host["elev_tie"].any()
+        dev = joint_state_sweep(jh, BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                                segment_engine="device")
+        assert dev["elev_tie"].all()
+        assert (dev["fail_code"][host["fail_code"] == 0] == 4).all()
+        fb = joint_state_sweep(jh, BETA, MU_REF, targets, nnebr=1, max_peaks=4,
+                               segment_engine="device", tie_fallback=True)
+        assert (fb["fail_code"] != 4).all()
+        np.testing.assert_array_equal(fb["fail_code"], host["fail_code"])
+        for k in self.EXACT:
+            np.testing.assert_array_equal(np.asarray(fb[k]), np.asarray(host[k]), err_msg=k)
+        for k in self.CLOSE:
+            np.testing.assert_allclose(np.asarray(fb[k]), np.asarray(host[k]), rtol=0, atol=1e-12, err_msg=k)
+
+    def test_return_surfaces_false_fallback_splices_device_labels(self):
+        # the fallback must splice host labels into the on-device label
+        # array too (functional .at[].set path)
+        jh = _tied_pore_joint()
+        fh = free_energy_profile.polynomial([0.1, 0.0])
+        p_vals, beta_vals = np.array([0.0, 0.05]), np.array([1.0, 1.0])
+        host = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0,
+                                nnebr=1, max_peaks=4, segment_engine="host")
+        fb = pore_state_sweep(jh, fh.free_energy, p_vals, beta_vals, A=1.0,
+                              nnebr=1, max_peaks=4, segment_engine="device",
+                              tie_fallback=True, return_surfaces=False)
+        assert isinstance(fb["labels"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(fb["labels"]), np.asarray(host["labels"]))
+
+
 class TestSweepEngines:
     def test_joint_sweep_device_matches_host(self):
         targets = np.array([[0.2, -0.3], [0.5, -0.1], [-0.2, 0.4], [0.7, 0.2]])

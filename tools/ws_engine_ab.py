@@ -80,6 +80,10 @@ def main():
     p_host, _ = timed("pore prod host engine", lambda: pore_state_sweep(
         jhp, fh.free_energy, ps2, pb2, A=1.0, nnebr=1, max_peaks=4, segment_engine="host"), S2)
     fin = np.isfinite(np.asarray(p_host["lnpi"]))
+    # finiteness patterns must match BEFORE the masked allclose — a
+    # device surface that is -inf where the host is finite (or vice
+    # versa) must not pass silently (mirrors tests_tpu parity asserts)
+    assert (np.isfinite(np.asarray(p_devs["lnpi"])) == fin).all()
     np.testing.assert_allclose(
         np.asarray(p_devs["lnpi"])[fin], np.asarray(p_host["lnpi"])[fin], rtol=0, atol=1e-10
     )
