@@ -15,6 +15,7 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
     "script",
     [
         "square_well_phase_diagram.py",
+        "square_well_notebook.py",
         "binary_isopleth.py",
         "multivariable_extrapolation.py",
         "combining_simulations.py",
