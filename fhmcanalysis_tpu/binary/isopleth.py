@@ -360,7 +360,7 @@ class isopleth(object):
             from ..core.pallas_sweep import kernel_supported
             from ..core.pipeline import _PALLAS_OK
 
-            if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True) and kernel_supported(n0):
+            if jax.default_backend() == "tpu" and _PALLAS_OK.get("iso", True) and kernel_supported(n0, kernel="iso", order=self.meta["order"]):
                 use_pallas = True
         if use_pallas:
             try:

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ds
 from .pallas_mb import _bcast_scalar, _const_block_mb, _unpack_cst_mb, extrap_source_lanes
-from .pallas_sweep import F32, I32, _npad, default_block, thermo_lanes
+from .pallas_sweep import F32, I32, ISO_MAX_NPAD, KERNEL_MAX_NPAD, _npad, default_block, thermo_lanes
 from .state import Hist
 
 __all__ = ["iso_grid_ds"]
@@ -77,13 +77,15 @@ def _sel_src(srcs, idx):
     return out
 
 
-def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cutoff, barriers=False, collect=None):
+def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cutoff, barriers=False, collect=None, sum_chunk=None):
     """One block of isopleth cells in lanes layout (pure jnp).
 
     lane_f: [8, L] f32 — pairs (mu1, dmu2_t, w0, w1)
     lane_i: [2, L] i32 — left/right source indices
     cst_list: per-source dicts (pallas_mb src layout + mu_ref/dmu2 pairs)
     shared: dict(op [NPAD,1], beta_ref pair, dB pair, vol pair)
+    sum_chunk: chunked integration (pallas_sweep._integrate_chunked) —
+    lifts the order-1 cell kernel past NPAD=1024 (VERDICT r4 item 5).
     """
     op = shared["op"]
     NPAD = op.shape[0]
@@ -140,7 +142,7 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
     ln_m = mix(xLh, xLl, xRh, xRl)
     keys_m = [mix(keysL[k][0], keysL[k][1], keysR[k][0], keysR[k][1]) for k in range(S + 1)]
 
-    pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers, collect)
+    pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers, collect, sum_chunk=sum_chunk)
 
     # is_safe (gc_hist.pyx:556-596): value at the LAST maximum minus the
     # tail must reach cutoff; the last phase's pair max IS that value
@@ -271,9 +273,9 @@ def _mb_len(N, S, order):
 # ----------------------------------------------------------------------
 
 
-def _kernel(lf_ref, li_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, order, cutoff, W, collect):
+def _kernel(lf_ref, li_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, order, cutoff, W, collect, sum_chunk=None):
     srcs, shared = _iso_unpack(cst_ref[:], N, S, order, W)
-    f, i = iso_block_lanes(lf_ref[0], li_ref[0], srcs, shared, N, smooth, P, S, order, cutoff, collect=collect)
+    f, i = iso_block_lanes(lf_ref[0], li_ref[0], srcs, shared, N, smooth, P, S, order, cutoff, collect=collect, sum_chunk=sum_chunk)
     out_f_ref[0] = f
     out_i_ref[0] = i
 
@@ -310,7 +312,7 @@ def _lanes(mu1_v, dmu2_v, lr, wts, block, nb):
     return lf, li
 
 
-def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret, collect=None):
+def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret, collect=None, sum_chunk=None):
     NRF, NRI = 6, 2
     import sys
 
@@ -318,7 +320,7 @@ def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret
         sys.setrecursionlimit(40000)
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, smooth=smooth, P=P, S=S, order=order, cutoff=cutoff, W=W, collect=collect),
+        partial(_kernel, N=N, smooth=smooth, P=P, S=S, order=order, cutoff=cutoff, W=W, collect=collect, sum_chunk=sum_chunk),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 8, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -340,8 +342,8 @@ def _launch(lf, li, cst, N, smooth, P, S, order, cutoff, W, block, nb, interpret
     return out_f, out_i
 
 
-@partial(jax.jit, static_argnames=("metas", "order", "cutoff", "block", "nb", "interpret", "collect"))
-def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, nb, interpret, collect=None):
+@partial(jax.jit, static_argnames=("metas", "order", "cutoff", "block", "nb", "interpret", "collect", "sum_chunk"))
+def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block, nb, interpret, collect=None, sum_chunk=None):
     """End-to-end jitted kernel path: const packing (DerivEngine key/sg
     rows), lane prep, the pallas_call, and the f64 joins all trace into
     ONE device launch — mirroring pallas_mb._mb_ds_pallas.  The pre-jit
@@ -358,7 +360,7 @@ def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, c
     B = NY * NX
     lf, li = _lanes(mu1_v, dmu2_v, lr, wts, block, nb)
     cst = _iso_const(sources, metas, NPAD, order, beta_target)
-    out_f, out_i = _launch(lf, li, cst, N, meta.smooth, P, S, order, cutoff, W, block, nb, interpret, collect)
+    out_f, out_i = _launch(lf, li, cst, N, meta.smooth, P, S, order, cutoff, W, block, nb, interpret, collect, sum_chunk)
     out_f = out_f[:, :B]
     out_i = out_i[:, :B]
     z = ds.join_f64(out_f[0], out_f[1]).reshape(NY, NX)
@@ -369,7 +371,7 @@ def _iso_ds_pallas(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, c
     return z, rho, fe, ok, code
 
 
-def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, collect=None):
+def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, collect=None, sum_chunk=None):
     """EAGER reference path (CPU tests); same body, one block."""
     meta = metas[0]
     P, S = meta.max_phases, meta.nspec
@@ -381,7 +383,7 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     lf, li = _lanes(mu1_v, dmu2_v, lr, wts, block=B, nb=1)
     cst = _iso_const(sources, metas, NPAD, order, beta_target)
     srcs, shared = _iso_unpack(cst, N, S, order, W)
-    f, i = iso_block_lanes(lf[0], li[0], srcs, shared, N, meta.smooth, P, S, order, cutoff, barriers=True, collect=collect)
+    f, i = iso_block_lanes(lf[0], li[0], srcs, shared, N, meta.smooth, P, S, order, cutoff, barriers=True, collect=collect, sum_chunk=sum_chunk)
     z = ds.join_f64(f[0], f[1]).reshape(NY, NX)
     rho = ds.join_f64(f[2], f[3]).reshape(NY, NX)
     fe = ds.join_f64(f[4], f[5]).reshape(NY, NX)
@@ -390,7 +392,7 @@ def _iso_ds_xla(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     return z, rho, fe, ok, code
 
 
-def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None, collect=None, device=None):
+def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff, block=None, mode=None, collect=None, device=None, sum_chunk=None):
     """Evaluate an isopleth grid block with the fused cell kernel.
 
     sources: list of Hist; lr/wts: host bracket indices/weights per dmu2
@@ -412,7 +414,7 @@ def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
         with jax.default_device(device):
             return iso_grid_ds(
                 sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cutoff,
-                block=block, mode=mode, collect=collect,
+                block=block, mode=mode, collect=collect, sum_chunk=sum_chunk,
             )
     srcs_np = [np.asarray(h.op) for h in sources]
     for j, o in enumerate(srcs_np[1:], 1):
@@ -422,8 +424,13 @@ def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
             raise ValueError("isopleth kernel requires identical volumes; source %d differs" % j)
     if mode is None:
         mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    npad = _npad(sources[0].lnpi.shape[-1])
+    if sum_chunk is None and npad > KERNEL_MAX_NPAD:
+        if order >= 2:
+            raise NotImplementedError("order-2 iso kernel supports NPAD<=1024; use engine='xla'")
+        sum_chunk = 512  # chunked integration (VERDICT r4 item 5, rule 15)
     if block is None:
-        block = default_block(sources[0].lnpi.shape[-1])
+        block = default_block(sources[0].lnpi.shape[-1], max_npad=ISO_MAX_NPAD if order == 1 else KERNEL_MAX_NPAD)
     sources = tuple(sources)
     metas = tuple(metas)
     if order == 2 and metas[0].nspec != 2:
@@ -431,11 +438,11 @@ def iso_grid_ds(sources, metas, mu1_v, dmu2_v, lr, wts, beta_target, order, cuto
     if collect not in (None, "janus"):
         raise NotImplementedError("lanes collect transforms: only 'janus'")
     if mode == "xla":
-        return _iso_ds_xla(sources, metas, mu1_v, dmu2_v, np.asarray(lr), np.asarray(wts), beta_target, order, cutoff, collect)
+        return _iso_ds_xla(sources, metas, mu1_v, dmu2_v, np.asarray(lr), np.asarray(wts), beta_target, order, cutoff, collect, sum_chunk)
     nb = -(-(len(mu1_v) * len(dmu2_v)) // block)
     return _iso_ds_pallas(
         sources, metas, jnp.asarray(mu1_v), jnp.asarray(dmu2_v),
         jnp.asarray(np.asarray(lr), dtype=jnp.int32), jnp.asarray(np.asarray(wts), dtype=jnp.float64),
         jnp.asarray(float(beta_target), dtype=jnp.float64), order, float(cutoff), block, nb,
-        mode == "interpret", collect,
+        mode == "interpret", collect, sum_chunk,
     )

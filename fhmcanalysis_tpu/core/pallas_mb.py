@@ -53,6 +53,8 @@ from .derivs import DerivEngine
 from .pallas_sweep import (
     F32,
     I32,
+    KERNEL_MAX_NPAD,
+    MB_MAX_NPAD,
     _f_quantities,
     _npad,
     _pack_rows,
@@ -280,12 +282,17 @@ def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mo
     return xh, xl, keys2, (mh, ml)
 
 
-def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False, collect=None):
+def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_mom=False, barriers=False, collect=None, sum_chunk=None):
     """One block of the extrapolating sweep in lanes layout (pure jnp).
 
     lane_rows: [2*(3+S1), L] f32 — pair rows (a, mu, dB, dDmu_q...)
     cst unpacked by _unpack_cst_mb.
     collect: None or "janus" (thermo_lanes collect transform).
+    sum_chunk: chunk the integration stage's [NPAD, L] intermediates
+    (pallas_sweep._integrate_chunked) — the VMEM lever that lifts the
+    order-1 kernel past NPAD=1024 (VERDICT r4 item 5); the extrapolated
+    key rows stay materialized (order-1's working set fits: the chunked
+    integration holds only segmentation + x' + keys2 full-length).
     """
     S1 = S - 1
     (lnpi, op, keys, dkeydB, dkeydMU, vol, beta_ref, dmuref, o2) = _unpack_cst_mb(cst, N, S, order)
@@ -300,7 +307,7 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_
     src = {"lnpi": lnpi, "keys": keys, "dkeydB": dkeydB, "dkeydMU": dkeydMU, "dmuref": dmuref, "o2": o2}
     lanes = {"a": lane(0), "mu": lane(1), "db": lane(2), "dds": [lane(3 + q) for q in range(S1)]}
     xh, xl, keys2, _ = extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props)
-    return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers, collect)
+    return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers, collect, sum_chunk=sum_chunk)
 
 
 # ----------------------------------------------------------------------
@@ -427,15 +434,15 @@ def _lane_rows(h: Hist, mu_grid, beta_grid, dmu_grid, block):
 # ----------------------------------------------------------------------
 
 
-def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props, order, first_order_mom, collect):
-    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props, order, first_order_mom, collect=collect)
+def _kernel(lr_ref, cst_ref, out_f_ref, out_i_ref, *, N, smooth, P, S, props, order, first_order_mom, collect, sum_chunk=None):
+    out = mb_block_lanes(lr_ref[0], cst_ref[:], N, smooth, P, S, props, order, first_order_mom, collect=collect, sum_chunk=sum_chunk)
     f, i = _pack_rows(out, P, S, props)
     out_f_ref[0] = f
     out_i_ref[0] = i
 
 
-@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "order", "first_order_mom", "collect"))
-def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool, order: int = 1, first_order_mom: bool = False, collect=None):
+@partial(jax.jit, static_argnames=("meta", "props", "block", "interpret", "order", "first_order_mom", "collect", "sum_chunk"))
+def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, block: int, interpret: bool, order: int = 1, first_order_mom: bool = False, collect=None, sum_chunk=None):
     P, S = meta.max_phases, meta.nspec
     N = h.lnpi.shape[-1]
     NPAD = _npad(N)
@@ -450,7 +457,7 @@ def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: 
         sys.setrecursionlimit(20000)
     Z = np.int32(0)
     out_f, out_i = pl.pallas_call(
-        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props, order=order, first_order_mom=first_order_mom, collect=collect),
+        partial(_kernel, N=N, smooth=meta.smooth, P=P, S=S, props=props, order=order, first_order_mom=first_order_mom, collect=collect, sum_chunk=sum_chunk),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, NL, block), lambda i: (i, Z, Z), memory_space=pltpu.VMEM),
@@ -471,7 +478,7 @@ def _mb_ds_pallas(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: 
     return _unpack(out_f, out_i, B, P, S, props)
 
 
-def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, order: int = 1, first_order_mom: bool = False, collect=None):
+def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: bool, order: int = 1, first_order_mom: bool = False, collect=None, sum_chunk=None):
     """EAGER reference path (CPU tests) — see pallas_sweep._sweep_ds_xla
     for why it is not jitted (XLA:CPU fusion blowup on this DAG shape)."""
     P, S = meta.max_phases, meta.nspec
@@ -481,7 +488,7 @@ def _mb_ds_xla(h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu_grid, props: boo
     lr, B2, nb = _lane_rows(h, mu_grid, beta_grid, dmu_grid, block=B)
     assert B2 == B and nb == 1
     cst = _const_block_mb(h, meta, NPAD, order)
-    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, order, first_order_mom, barriers=True, collect=collect)
+    out = mb_block_lanes(lr[0], cst, N, meta.smooth, P, S, props, order, first_order_mom, barriers=True, collect=collect, sum_chunk=sum_chunk)
     f, i = _pack_rows(out, P, S, props)
     return _unpack(f, i, B, P, S, props)
 
@@ -498,6 +505,7 @@ def mu_beta_sweep_thermo_ds(
     order: int = 1,
     first_order_mom: bool = False,
     collect=None,
+    sum_chunk=None,
 ):
     """Drop-in for pipeline.mu_beta_sweep_thermo (orders 1-2) running the
     fused double-single Pallas kernel (see module docstring).  Output dict
@@ -505,6 +513,10 @@ def mu_beta_sweep_thermo_ds(
 
     mode: "pallas" (TPU), "xla" (eager CPU reference), None = auto.
     collect: None or "janus" (thermo_lanes transform, VERDICT r1 item 5).
+    sum_chunk: chunked integration (auto-set past NPAD=1024 at order 1 —
+    VERDICT r4 item 5; order 2's Hessian rows keep ~6 extra full-length
+    arrays live through the x' build, so long order-2 composites stay on
+    the XLA engine).
     """
     if order < 1 or order > 2:
         raise ValueError("kernel implements orders 1-2")
@@ -512,16 +524,24 @@ def mu_beta_sweep_thermo_ds(
         raise NotImplementedError("lanes collect transforms: only 'janus'")
     if order == 2 and meta.nspec != 2:
         raise NotImplementedError("order-2 kernel is nspec==2 only")
-    if meta.used_ke:
-        # order-1 lnPI row carries no KE term (gc_hist.pyx:2146-2149) and
-        # sg_dX_dB is precomputed with the engine's KE corrections, so
-        # used_ke actually flows through — but it is untested here; the
-        # XLA path is authoritative for KE data.
-        raise NotImplementedError("used_ke histograms: use the XLA mu_beta path")
+    if meta.used_ke and order >= 2:
+        # the order-2 Hessian's gc_dX_dB lanes are the KE-free form
+        # (gc_hist.pyx:1382-1410); KE data needs the corrected kernels
+        # (gc_hist.pyx:1412-1416, 1449-1457) the XLA path computes.
+        # Order 1 is exact for KE histograms: the lnPI beta-derivative
+        # carries no KE term (gc_hist.pyx:2146-2149) and the key rows
+        # extrapolate via sg_dX_dB rows PREcomputed with the engine's KE
+        # corrections (tested vs the XLA path, test_pallas_mb.py).
+        raise NotImplementedError("used_ke histograms: order-2 kernel lacks the KE gc_dX_dB corrections; use the XLA mu_beta path")
     if mode is None:
         mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    npad = _npad(h.lnpi.shape[-1])
+    if sum_chunk is None and npad > KERNEL_MAX_NPAD:
+        if order >= 2:
+            raise NotImplementedError("order-2 mb kernel supports NPAD<=1024; use the XLA mu_beta path")
+        sum_chunk = 512  # same VMEM lever as the sweep kernel (rule 15)
     if block is None:
-        block = default_block(h.lnpi.shape[-1])
+        block = default_block(h.lnpi.shape[-1], max_npad=MB_MAX_NPAD if order == 1 else KERNEL_MAX_NPAD)
     mu_grid = jnp.asarray(mu_grid, dtype=jnp.float64)
     beta_grid = jnp.atleast_1d(jnp.asarray(beta_grid, dtype=jnp.float64))
     dmu_grid = jnp.atleast_2d(jnp.asarray(dmu_grid, dtype=jnp.float64))
@@ -530,7 +550,7 @@ def mu_beta_sweep_thermo_ds(
 
     M, A = mu_grid.shape[0], beta_grid.shape[0]
     if mode == "xla":
-        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props, order, first_order_mom, collect)
+        flat = _mb_ds_xla(h, meta, mu_grid, beta_grid, dmu_grid, props, order, first_order_mom, collect, sum_chunk)
     else:
-        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret", order, first_order_mom, collect)
+        flat = _mb_ds_pallas(h, meta, mu_grid, beta_grid, dmu_grid, props, block, mode == "interpret", order, first_order_mom, collect, sum_chunk)
     return jax.tree_util.tree_map(lambda v: v.reshape((M, A) + v.shape[1:]), flat)

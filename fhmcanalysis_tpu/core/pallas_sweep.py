@@ -784,18 +784,38 @@ KERNEL_MAX_NPAD = 1024
 # integration (_integrate_chunked): only segmentation's ~10 live
 # [NPAD, 128] arrays remain full-length, which fit at NPAD=2048.
 SWEEP_MAX_NPAD = 2048
+# The order-1 (mu, beta, dMu) kernel shares that ceiling (VERDICT r4
+# item 5): its extrapolation stage adds x' plus S+1 extrapolated key-row
+# pairs full-length (~8 extra [NPAD, 128] f32 at nspec=2), which still
+# fits next to segmentation's ~10 once the integration is sum-chunked.
+# Order 2 keeps the Hessian rows (h00/h01/h11 + db2/dbdd/dd2 pairs)
+# live through the x' build and stays at the unchunked limit.
+MB_MAX_NPAD = 2048
+# The isopleth cell kernel runs TWO extrapolated sources (bracket
+# sides) back to back; each side's x'+keys working set is transient —
+# only the winning side's x/keys survive into integration — so the
+# order-1 cell kernel lifts with the same chunked integration.
+ISO_MAX_NPAD = 2048
 
 
-def kernel_supported(n_bins: int, kernel: str = "generic") -> bool:
+def kernel_supported(n_bins: int, kernel: str = "generic", order: int = 1) -> bool:
     """True when the double-single kernels can hold this composite's
     working set in scoped VMEM; auto-engine dispatch uses this so an
     oversized composite routes to the XLA engine without burning a
     Mosaic compile or tripping the process-wide kernel-failure memo.
 
-    kernel="sweep" applies the mu-sweep kernel's higher sum-chunked
-    ceiling (VERDICT r3 item 4); the mb/iso extrapolating kernels keep
-    the unchunked limit."""
-    return _npad(n_bins) <= (SWEEP_MAX_NPAD if kernel == "sweep" else KERNEL_MAX_NPAD)
+    kernel="sweep" applies the mu-sweep kernel's sum-chunked ceiling
+    (VERDICT r3 item 4); "mb"/"iso" apply the extrapolating kernels'
+    order-1 sum-chunked ceilings (VERDICT r4 item 5 — order 2 keeps the
+    unchunked limit, see MB_MAX_NPAD)."""
+    npad = _npad(n_bins)
+    if kernel == "sweep":
+        return npad <= SWEEP_MAX_NPAD
+    if kernel == "mb":
+        return npad <= (MB_MAX_NPAD if order == 1 else KERNEL_MAX_NPAD)
+    if kernel == "iso":
+        return npad <= (ISO_MAX_NPAD if order == 1 else KERNEL_MAX_NPAD)
+    return npad <= KERNEL_MAX_NPAD
 
 
 def default_block(n_bins: int, max_npad: int = KERNEL_MAX_NPAD) -> int:

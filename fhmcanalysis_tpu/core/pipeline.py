@@ -144,7 +144,8 @@ def mu_sweep_thermo(h: Hist, meta: HistMeta, mu_grid, props: bool = True, collec
             # kernel would ValueError in default_block and poison the
             # process-wide failure memo for valid sizes.  The sweep
             # ceiling is NPAD=2048 (sum-chunked integration, VERDICT r3
-            # item 4); the mb/iso kernels stay at the unchunked 1024
+            # item 4); the order-1 mb/iso kernels share it (r4 item 5),
+            # order-2 stays at the unchunked 1024
             use_pallas = kernel_supported(h.lnpi.shape[-1], kernel="sweep")
     if use_pallas:
         from .pallas_sweep import mu_sweep_thermo_ds
@@ -275,13 +276,19 @@ def mu_beta_sweep_thermo(
         engine == "auto"
         and (order == 1 or (order == 2 and meta.nspec == 2))
         and collect in (None, "janus")
-        and not meta.used_ke
+        # order 1 is exact for KE histograms (the kernel's key rows use
+        # sg rows precomputed with the KE corrections and the order-1
+        # lnPI derivative has no KE term, gc_hist.pyx:2146-2149 — tested
+        # vs the XLA path); order 2's gc_dX_dB lanes are the KE-free form
+        and (not meta.used_ke or order == 1)
         and jax.default_backend() == "tpu"
         and _PALLAS_OK.get("mb", True)
     ):
         from .pallas_sweep import kernel_supported
 
-        use_pallas = kernel_supported(h.lnpi.shape[-1])
+        # order-1 composites get the sum-chunked NPAD=2048 ceiling
+        # (VERDICT r4 item 5); order 2 keeps the unchunked 1024
+        use_pallas = kernel_supported(h.lnpi.shape[-1], kernel="mb", order=order)
     if use_pallas:
         from .pallas_mb import mu_beta_sweep_thermo_ds
 

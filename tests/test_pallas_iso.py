@@ -136,3 +136,41 @@ def test_iso_kernel_mesh_matches_single_device():
     sharded_make_grid(grid_mesh(8), b, mu1_b, dmu2_b, delta, engine="pallas")
     for k in ("Z", "density", "F.E./kT", "valid", "fail_code"):
         np.testing.assert_array_equal(np.asarray(a.data[k]), np.asarray(b.data[k]), err_msg=k)
+
+
+def _stretch_sources(srcs, n_big):
+    """Interpolate each source histogram onto an n_big-bin op grid with a
+    synthetic two-basin lnPI (test_pallas_sweep._big_hist analog at the
+    class layer; shapes/magnitudes realistic, physics not required)."""
+    x = np.linspace(0.0, 1.0, n_big)
+    lnpi = 120.0 * np.exp(-((x - 0.25) ** 2) / 0.01) + 150.0 * np.exp(-((x - 0.7) ** 2) / 0.02) - 30.0 * x
+    for j, h in enumerate(srcs):
+        n = len(h.data["ln(PI)"])
+        xi = np.linspace(0.0, 1.0, n)
+        mom = np.asarray(h.data["mom"], dtype=np.float64)[..., :n]
+        flat = mom.reshape(-1, n)
+        h.data["mom"] = np.stack([np.interp(x, xi, r) for r in flat]).reshape(mom.shape[:-1] + (n_big,))
+        # tiny per-source tilt so the two sources differ (bracket mixing
+        # has something to mix)
+        h.data["ln(PI)"] = lnpi - 0.1 * j * x
+        h.data[h._OP_KEY] = np.arange(n_big, dtype=np.float64)
+    return srcs
+
+
+def test_iso_kernel_order1_npad2048():
+    """NPAD=2048 sources through the sum-chunked order-1 cell kernel body
+    vs the XLA grid path (VERDICT r4 item 5 done-criterion: iso-kernel
+    parity at N ~ 1400; the on-chip throughput point lives in tests_tpu)."""
+    # beta_target == source beta: at 1400 bins the dB*mu*op lnPI tilt of
+    # any real beta step (~140 log units at the tail) makes every cell
+    # edge-unsafe; the dMu2 bracket mixing is what this test targets
+    srcs = _stretch_sources(_sources(FIXTURE, [-10.0, -9.0]), 1400)
+    _compare(srcs, 1.0, 1, (4.99, 5.01), (-9.95, -9.05), (0.01, 0.45))
+
+
+def test_iso_kernel_order2_big_composite_raises():
+    """Order 2 keeps the unchunked NPAD=1024 ceiling (MB_MAX_NPAD note)."""
+    srcs = _stretch_sources(_sources(FIXTURE2, [-10.0, -9.0], trim=True), 1400)
+    b = isopleth(srcs, 1.02, order=2)
+    with pytest.raises(NotImplementedError, match="order-2 iso kernel"):
+        b.make_grid((4.99, 5.01), (-9.95, -9.05), (0.01, 0.45), engine="pallas")
