@@ -50,6 +50,15 @@ cheapest sweep):
                                      vs the oracle under bench
                                      concurrency (was 0.51x when both
                                      paths shared the host flood)
+  joint_gc_surfaces_states_per_sec   the SAME joint sweep with
+                                     return_surfaces=True through the
+                                     device watershed (int8 label
+                                     download + host lnPI rebuild,
+                                     commit 834d016); vs_baseline =
+                                     speedup over the host-flood arm at
+                                     identical output scope, so the
+                                     surfaces path cannot silently
+                                     regress (VERDICT r4 item 4)
   mu_beta_extrap_o1_points_per_sec   (mu, beta, dMu) joint Taylor order 1
   mu_beta_extrap_o2_points_per_sec   same at order 2
   isopleth_grid_cells_per_sec        binary isopleth make_grid surface (XLA
@@ -992,6 +1001,22 @@ def main():
         joint_secs = _median_time(jf, 1 if quick else 3)
         assert (np.asarray(jo["fail_code"]) == 0).all(), "joint bench states must all segment cleanly"
         FALLBACK["joint"] = ("joint_gc_states_per_sec", SJ / joint_secs, "states/s", 1.0)
+
+        # surfaces-path A/B (VERDICT r4 item 4): device watershed with
+        # return_surfaces=True (int8 label download + host lnPI rebuild,
+        # commit 834d016) vs the host-flood arm at identical output
+        # scope; label equality asserted (tie-free synthetic surface)
+        jf_sd = lambda: joint_state_sweep(jh_joint, JOINT_BETA, JOINT_MU_REF, jt, nnebr=1, max_peaks=4, return_surfaces=True, segment_engine="device")  # noqa: E731
+        jf_sh = lambda: joint_state_sweep(jh_joint, JOINT_BETA, JOINT_MU_REF, jt, nnebr=1, max_peaks=4, return_surfaces=True, segment_engine="host")  # noqa: E731
+        jd_s = jf_sd()
+        jh_s = jf_sh()
+        assert np.array_equal(np.asarray(jd_s["labels"]), np.asarray(jh_s["labels"])), "surfaces A/B: device labels diverged from the host flood"
+        surf_dev_secs = _median_time(jf_sd, 1 if quick else 3)
+        surf_host_secs = _median_time(jf_sh, 1 if quick else 3)
+        FALLBACK["joint_surf"] = (
+            "joint_gc_surfaces_states_per_sec", SJ / surf_dev_secs, "states/s",
+            surf_host_secs / surf_dev_secs,
+        )
         joint_idx = [0, SJ - 1] if quick else [0, SJ // 4, SJ // 2, SJ - 1]
         spec["joint_shape"] = [HJ, NJ]
         spec["joint_idx"] = [int(i) for i in joint_idx]
@@ -1153,6 +1178,7 @@ def main():
         host_joint = len(joint_idx) / ref["joint_host_secs"] if ref["joint_host_secs"] > 0 else 0.0
         dev_joint = SJ / joint_secs
         _emit("joint_gc_states_per_sec", dev_joint, "states/s", dev_joint / host_joint if host_joint else 0.0)
+        _emit("joint_gc_surfaces_states_per_sec", SJ / surf_dev_secs, "states/s", surf_host_secs / surf_dev_secs)
     if big_secs is not None:
         _emit("reweight_thermo_8M_points_per_sec", 8 * 1024 * 1024 / big_secs, "points/s", 8 * 1024 * 1024 / big_secs / TARGET)
     _emit("mu_beta_extrap_o1_points_per_sec", M * A / mb_secs[1], "points/s", M * A / mb_secs[1] / TARGET)

@@ -455,3 +455,170 @@ def test_device_watershed_on_chip():
     fin = np.isfinite(lb)
     assert (np.isfinite(la) == fin).all()
     assert np.abs(la[fin] - lb[fin]).max() < BAR
+
+
+def _big_state(test_nc, n_big=1400):
+    """Synthetic NPAD=2048 composite with the canonical 6-D moment layout
+    (test_big_composite_chunked_kernel_on_chip's surface; the mb/iso
+    DerivEngine paths index mom[i,j,k,m,p])."""
+    import jax.numpy as jnp
+
+    h = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
+    hh, meta = h._hist(), h._meta(max_phases=4)
+    N = hh.lnpi.shape[-1]
+    x = np.linspace(0.0, 1.0, n_big)
+    lnpi = 120.0 * np.exp(-((x - 0.25) ** 2) / 0.01) + 150.0 * np.exp(-((x - 0.7) ** 2) / 0.02) - 30.0 * x
+    xi = np.linspace(0.0, 1.0, N)
+    mom2d = np.asarray(hh.mom).reshape(meta.n_addr, N)
+    mom_b = np.stack([np.interp(x, xi, mom2d[a]) for a in range(meta.n_addr)]).reshape(meta.mom_shape(n_big))
+    return hh.replace(lnpi=jnp.asarray(lnpi), op=jnp.arange(n_big, dtype=hh.op.dtype), mom=jnp.asarray(mom_b)), meta
+
+
+def test_mb_big_composite_kernel_on_chip(test_nc):
+    """NPAD=2048 composite through the sum-chunked order-1 mb kernel on
+    real hardware: parity vs the chunked-XLA engine at the production bar
+    AND a warm throughput point past the old NPAD=1024 ceiling (VERDICT
+    r4 item 5 done-criterion for the extrapolating kernels)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from fhmcanalysis_tpu.core import pipeline as P
+
+    h_big, meta = _big_state(test_nc)
+    mus = jnp.linspace(4.99, 5.01, 8192)
+    betas = jnp.array([0.999, 1.0, 1.001])
+    dmus = jnp.array([[-5.001], [-5.0], [-4.999]])
+    out = P.mu_beta_sweep_thermo(h_big, meta, mus, betas, dmus, order=1, props=True, engine="pallas")
+    _ = float(np.asarray(out["fe"][0, 0, 0]))
+    ref = P.mu_beta_sweep_thermo(h_big, meta, mus, betas, dmus, order=1, props=True, engine="xla")
+    _ = float(np.asarray(ref["fe"][0, 0, 0]))
+    msk = np.asarray(ref["mask"])
+    for k in ("left", "right", "mask", "n_phases", "valid"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]), err_msg=k)
+    for k in ("fe", "ntot", "u", "density"):
+        d = np.abs(np.where(msk, np.asarray(out[k]) - np.asarray(ref[k]), 0.0)).max()
+        assert d < BAR, (k, d)
+
+    def warm(engine):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            o = P.mu_beta_sweep_thermo(h_big, meta, mus, betas, dmus, order=1, props=True, engine=engine)
+            _ = float(np.asarray(o["fe"][0, 0, 0]))
+        return (time.perf_counter() - t0) / 2
+
+    kt, xt = warm("pallas"), warm("xla")
+    print("MB NPAD2048 kernel %.3fs vs xla %.3fs (%.2fx)" % (kt, xt, xt / kt))
+    assert kt < xt * 1.5, "chunked mb kernel slower than XLA past the ceiling (kt=%.3f xt=%.3f)" % (kt, xt)
+
+
+def test_iso_big_composite_kernel_on_chip(test_nc):
+    """NPAD=2048 isopleth sources through the sum-chunked order-1 cell
+    kernel on real hardware (VERDICT r4 item 5): forced-pallas grid vs
+    the XLA grid path at the production bar (CPU parity at this size
+    lives in tests/test_pallas_iso.py; beta_target == source beta for the
+    same tail-tilt reason documented there)."""
+    from fhmcanalysis_tpu.binary.isopleth import isopleth
+
+    def srcs():
+        out = []
+        for j, d in enumerate((-10.0, -9.0)):
+            h = oneDH.histogram(test_nc, 1.0, [5.0, 5.0 + d], smooth=1)
+            n = len(h.data["ln(PI)"])
+            n_big = 1400
+            x = np.linspace(0.0, 1.0, n_big)
+            xi = np.linspace(0.0, 1.0, n)
+            mom = np.asarray(h.data["mom"], dtype=np.float64)[..., :n]
+            flat = mom.reshape(-1, n)
+            h.data["mom"] = np.stack([np.interp(x, xi, r) for r in flat]).reshape(mom.shape[:-1] + (n_big,))
+            h.data["ln(PI)"] = (
+                120.0 * np.exp(-((x - 0.25) ** 2) / 0.01) + 150.0 * np.exp(-((x - 0.7) ** 2) / 0.02) - 30.0 * x - 0.1 * j * x
+            )
+            h.data[h._OP_KEY] = np.arange(n_big, dtype=np.float64)
+            out.append(h)
+        return out
+
+    a = isopleth(srcs(), 1.0, order=1)
+    Za, _ = a.make_grid((4.99, 5.01), (-9.95, -9.05), (0.005, 0.3))
+    b = isopleth(srcs(), 1.0, order=1)
+    Zb, _ = b.make_grid((4.99, 5.01), (-9.95, -9.05), (0.005, 0.3), engine="pallas")
+    np.testing.assert_array_equal(a.data["valid"], b.data["valid"])
+    np.testing.assert_array_equal(a.data["fail_code"], b.data["fail_code"])
+    ok = a.data["valid"].astype(bool)
+    assert ok.sum() > 0.3 * ok.size, "grid mostly invalid — comparison vacuous"
+    for k in ("Z", "density", "F.E./kT"):
+        d = np.max(np.abs(np.where(ok, a.data[k] - b.data[k], 0.0)))
+        assert d < BAR, (k, d)
+
+
+def test_mesh_on_chip(test_nc):
+    """A real Mesh on the real chip (VERDICT r4 item 3): every mesh code
+    path had only ever executed on the virtual CPU mesh.  A 1-device Mesh
+    proves the GSPMD sweep body, the shard_map SPMD pallas arm (Mosaic
+    kernel under shard_map + on-device lax.pmin), the sharded isopleth
+    grid, and the sharded device-watershed joint sweep all lower and
+    execute on the axon backend."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from fhmcanalysis_tpu.binary.isopleth import isopleth
+    from fhmcanalysis_tpu.core import pipeline as P
+    from fhmcanalysis_tpu.parallel import (
+        sharded_joint_state_sweep,
+        sharded_make_grid,
+        sharded_mu_beta_sweep,
+    )
+    from fhmcanalysis_tpu.two_dim import joint_hist
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("mu", "state"))
+    h = oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1)
+    hh, meta = h._hist(), h._meta(max_phases=4)
+    mus = np.linspace(-1.0, 6.0, 16)
+    betas = np.array([0.95, 1.06])
+    dmus = np.array([[-4.9], [-5.1]])
+
+    # GSPMD XLA arm
+    out_x, fmin_x = sharded_mu_beta_sweep(mesh, hh, meta, mus, betas, dmus, order=1, props=True)
+    assert np.isfinite(float(fmin_x))
+
+    # SPMD pallas arm: the Mosaic kernel under shard_map; bitwise vs the
+    # single-device kernel call (same block, same lane padding)
+    ref = P.mu_beta_sweep_thermo(
+        hh, meta, jnp.asarray(mus), jnp.asarray(betas), jnp.asarray(dmus), order=1, props=True, engine="pallas"
+    )
+    out_p, fmin_p = sharded_mu_beta_sweep(mesh, hh, meta, mus, betas, dmus, order=1, props=True, engine="pallas")
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out_p[k]), err_msg=k)
+    want = np.min(np.where(np.asarray(ref["mask"]), np.asarray(ref["fe"]), np.inf))
+    assert float(fmin_p) == float(want)
+    # the two engines agree at the production bar
+    msk = np.asarray(out_x["mask"])
+    np.testing.assert_array_equal(msk, np.asarray(out_p["mask"]))
+    d = np.abs(np.where(msk, np.asarray(out_x["fe"]) - np.asarray(out_p["fe"]), 0.0)).max()
+    assert d < BAR, d
+
+    # sharded isopleth grid, both engines
+    srcs = [
+        oneDH.histogram(test_nc, 1.0, [5.0, 0.0], smooth=1),
+        oneDH.histogram(test_nc, 1.0, [5.0, 1.0], smooth=1),
+    ]
+    iso_x = isopleth(srcs, 1.02, order=1)
+    Zx, _ = sharded_make_grid(mesh, iso_x, (-9.0, -6.0), (-4.9, -4.1), (1.5, 0.4))
+    iso_p = isopleth(srcs, 1.02, order=1)
+    Zp, _ = sharded_make_grid(mesh, iso_p, (-9.0, -6.0), (-4.9, -4.1), (1.5, 0.4), engine="pallas")
+    np.testing.assert_array_equal(iso_x.data["valid"], iso_p.data["valid"])
+
+    # sharded joint GC sweep with the device watershed (no host stage)
+    jh = joint_hist()
+    for i in range(12):
+        nt = np.arange(i, 25, dtype=float)
+        b1 = 30.0 * np.exp(-((i - 2.0) ** 2) / 6.0) * np.exp(-((nt - 4.0) ** 2) / 8.0)
+        b2 = 33.0 * np.exp(-((i - 8.0) ** 2) / 6.0) * np.exp(-((nt - 18.0) ** 2) / 8.0)
+        jh.enter(float(i), b1 + b2 - 0.05 * nt, nt.astype(int), {"N_tot": nt, "U": -0.4 * nt})
+    S = 3
+    mu_t = np.stack([np.linspace(0.2, 0.7, S), np.linspace(-0.3, 0.2, S)], axis=1)
+    j_host = sharded_joint_state_sweep(mesh, jh, 1.1, (0.2, -0.3), mu_t, nnebr=1, max_peaks=4, segment_engine="host")
+    j_dev = sharded_joint_state_sweep(mesh, jh, 1.1, (0.2, -0.3), mu_t, nnebr=1, max_peaks=4, segment_engine="device")
+    np.testing.assert_array_equal(np.asarray(j_dev["labels"]), np.asarray(j_host["labels"]))
+    assert np.isfinite(np.asarray(j_dev["fe"])[np.asarray(j_dev["phase_ok"])]).all()
