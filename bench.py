@@ -384,10 +384,16 @@ def _preflight(deadline_s=480, probe_timeout_s=60, sleep_s=20):
         time.sleep(sleep_s)
 
 
-def _watchdog(seconds=1000):
+def _watchdog(seconds=1600):
     """Fail fast with a JSON line instead of hanging forever when the TPU
     tunnel is unresponsive (it flaps, and fresh Mosaic compiles have been
     measured anywhere from 176 s to 685 s depending on tunnel weather).
+
+    Budget 1600 s (was 1000): the 2026-08-19 congestion window spent
+    650 s between the RPC sentinel and the first finished compile with
+    every stage alive and producing — the 1000 s watchdog cut an
+    otherwise-healthy run at the joint stage.  1600 s absorbs that
+    window while still bounding a genuinely hung run.
 
     The bench measures the reliable XLA headline FIRST and stashes it in
     FALLBACK: if the watchdog fires mid-compile, the run still ends with
