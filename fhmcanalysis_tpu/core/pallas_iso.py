@@ -87,6 +87,10 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
     sum_chunk: chunked integration (pallas_sweep._integrate_chunked) —
     lifts the order-1 cell kernel past NPAD=1024 (VERDICT r4 item 5).
     """
+    if sum_chunk is not None:
+        if order != 1:
+            raise NotImplementedError("sum-chunked iso cell body is order-1 only (MB_MAX_NPAD note)")
+        return _iso_chunked_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, cutoff, barriers, collect, sum_chunk)
     op = shared["op"]
     NPAD = op.shape[0]
     L = lane_f.shape[-1]
@@ -143,7 +147,13 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
     keys_m = [mix(keysL[k][0], keysL[k][1], keysR[k][0], keysR[k][1]) for k in range(S + 1)]
 
     pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers, collect, sum_chunk=sum_chunk)
+    return _iso_finish(pt, ln_m, edgeL, edgeR, N, P, cutoff)
 
+
+def _iso_finish(pt, ln_m, edgeL, edgeR, N, P, cutoff):
+    """Guards + most-stable-phase pick + output packing — shared tail of
+    the materialized and sum-chunked cell bodies."""
+    last = np.int32(N - 1)
     # is_safe (gc_hist.pyx:556-596): value at the LAST maximum minus the
     # tail must reach cutoff; the last phase's pair max IS that value
     n_max = pt["n_phases"]
@@ -199,6 +209,213 @@ def iso_block_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, order, cu
 def _bcast_scalar2(pair, like_h):
     """[1,L] pair against a possibly-[NPAD,L] array (sublane broadcast)."""
     return pair[0] + jnp.zeros_like(like_h), pair[1] + jnp.zeros_like(like_h)
+
+
+def _sel_pair_rows(pairs, idx, r0, rN, z):
+    """_sel_pair on a row slice: one-hot combine of the W sources'
+    [NPAD, 1] const rows over rows [r0, rN), broadcast to the chunk
+    shape z ([TN, L]).  Evaluated per chunk so the selected rows never
+    materialize full-length (the iso kernel measured 46.12 MB scoped
+    VMEM at NPAD=2048 with full-length selection — ~20 selected
+    [NPAD, L] arrays per bracket side)."""
+    hh = jnp.zeros_like(z)
+    ll = jnp.zeros_like(z)
+    for j, (ph, pl_) in enumerate(pairs):
+        on = idx == j
+        hh = hh + jnp.where(on, ph[r0:rN] + z, F32(0.0))
+        ll = ll + jnp.where(on, pl_[r0:rN] + z, F32(0.0))
+    return hh, ll
+
+
+def _iso_chunked_lanes(lane_f, lane_i, cst_list, shared, N, smooth, P, S, cutoff, barriers, collect, TN):
+    """Order-1 cell body with EVERY per-side full-length intermediate
+    chunked (VERDICT r4 item 5): source selection, reweight, the GC
+    averages (two chunked passes: lexicographic max, then shifted-exp
+    sums), the extrapolated x' build and the bracket mix all run one
+    [TN, L] chunk at a time; only the MIXED surface (segmentation input)
+    is materialized, and the mixed key rows reach the chunked
+    integration as callables.  Chunk sums reassociate the GC averages at
+    the ~2^-49 level (same contract as _integrate_chunked), so x' — and
+    in principle a segmentation decision at an exact float tie — can
+    differ from the materialized body at pair precision; the CPU parity
+    tests at N=1400 hold to 1e-9 vs the XLA engine.
+    """
+    from .pallas_sweep import _masked_pair_max, _pair_max2
+
+    op = shared["op"]
+    NPAD = op.shape[0]
+    assert NPAD % TN == 0, (NPAD, TN)
+    nt = NPAD // TN
+    L = lane_f.shape[-1]
+    brk = lax.optimization_barrier if barriers else (lambda t: t)
+    neg_inf = F32(-jnp.inf)
+    S1 = S - 1
+    last = np.int32(N - 1)
+
+    def fpair(i):
+        return lane_f[2 * i : 2 * i + 1], lane_f[2 * i + 1 : 2 * i + 2]
+
+    mu1 = fpair(0)
+    dmu2t = fpair(1)
+    w0 = fpair(2)
+    w1 = fpair(3)
+    idxL = lane_i[0:1]
+    idxR = lane_i[1:2]
+
+    brh, brl = shared["beta_ref"]
+    br_row = (brh + jnp.zeros_like(mu1[0]), brl + jnp.zeros_like(mu1[1]))
+    db_row = (shared["dB"][0] + jnp.zeros_like(mu1[0]), shared["dB"][1] + jnp.zeros_like(mu1[1]))
+
+    lnpi_rows = [s["lnpi"] for s in cst_list]
+    key_rows = [[s["keys"][k] for s in cst_list] for k in range(S + 1)]
+    dkB_rows = [[s["dkeydB"][k] for s in cst_list] for k in range(S + 1)]
+    dkM_rows = [[[s["dkeydMU"][q][k] for s in cst_list] for k in range(S + 1)] for q in range(S1)]
+
+    def chunk_real(t):
+        # fresh iota + constant offset per chunk (PERFORMANCE.md §8:
+        # offset-slicing a broadcasted iota along sublanes SIGABRTs)
+        return (lax.broadcasted_iota(I32, (TN, L), 0) + np.int32(t * TN)) < N
+
+    def side(idx):
+        """Per-side scalars from two chunked passes + the lane rows the
+        chunk callbacks close over."""
+        mu_ref = _sel_pair([s["mu_ref"] for s in cst_list], idx)
+        dmu2_j = _sel_pair([s["dmu2"] for s in cst_list], idx)
+        dmuref = [_sel_pair([s["dmuref"][q] for s in cst_list], idx) for q in range(S1)]
+        a = ds.ds_mul(*br_row, *ds.ds_sub(*mu1, *mu_ref))
+        dd = ds.ds_sub(*dmu2t, *dmu2_j)
+        sd = {"idx": idx, "a": a, "dd": dd, "dmuref": dmuref}
+
+        def x_rw(t, z):
+            # reweight x = lnpi + a*op on rows [t*TN, (t+1)*TN)
+            r0, rN = t * TN, (t + 1) * TN
+            lh, ll = _sel_pair_rows(lnpi_rows, idx, r0, rN, z)
+            op_t = op[r0:rN]
+            ph, pe = ds.two_prod(a[0], op_t)
+            pe = pe + a[1] * op_t
+            aoh, aol = ds.quick_two_sum(ph, pe)
+            return ds.ds_add(lh, ll + jnp.zeros_like(aol), aoh, aol)
+
+        # pass A: lexicographic pair max of the reweighted surface
+        mh = jnp.full((1, L), -jnp.inf, F32)
+        ml = jnp.full((1, L), -jnp.inf, F32)
+        for t in range(nt):
+            z = jnp.zeros((TN, L), F32)
+            xh_t, xl_t = x_rw(t, z)
+            ch, cl = _masked_pair_max(xh_t, xl_t, chunk_real(t), neg_inf)
+            mh, ml = _pair_max2(mh, ml, ch, cl)
+        sd["m"] = brk((mh, ml))
+
+        # pass B: shifted-exp sums -> s0 and the S+1 key averages
+        zero = jnp.zeros((1, L), F32)
+        s0 = (zero, zero)
+        ksums = [(zero, zero) for _ in range(S + 1)]
+        for t in range(nt):
+            z = jnp.zeros((TN, L), F32)
+            r0, rN = t * TN, (t + 1) * TN
+            xh_t, xl_t = x_rw(t, z)
+            th, tl = ds.ds_sub(xh_t, xl_t, mh, ml)
+            eh, el = ds.ds_exp_shifted(th, tl)
+            real_t = chunk_real(t)
+            eh = jnp.where(real_t, eh, F32(0.0))
+            el = jnp.where(real_t, el, F32(0.0))
+            s0 = ds.ds_add(*s0, *ds.ds_sum_pairs(eh, el, axis=0))
+            for k in range(S + 1):
+                kh, kl = _sel_pair_rows(key_rows[k], idx, r0, rN, z)
+                qh, ql = ds.ds_mul(eh, el, kh, kl)
+                ksums[k] = ds.ds_add(*ksums[k], *ds.ds_sum_pairs(qh, ql, axis=0))
+        av = brk([ds.ds_div(*ksums[k], *s0) for k in range(S + 1)])
+        sd["av_ni"], sd["avu"] = av[:S], av[S]
+        nth, ntl = sd["av_ni"][0]
+        for i in range(1, S):
+            nth, ntl = ds.ds_add(nth, ntl, *sd["av_ni"][i])
+        sd["ntot"] = (nth, ntl)
+
+        def x_chunk(t, z):
+            # x' = x + dB*dlnPI/dB + sum_q dDmu_q beta_ref (N_{q+1}-<N_{q+1}>)
+            # (extrap_source_lanes order-1 body on a row chunk)
+            r0, rN = t * TN, (t + 1) * TN
+            xh, xl = x_rw(t, z)
+            d1b_h = jnp.zeros_like(xh)
+            d1b_l = jnp.zeros_like(xl)
+            keys_t = [_sel_pair_rows(key_rows[k], idx, r0, rN, z) for k in range(S + 1)]
+            for i in range(1, S):
+                fh, fl = ds.ds_sub(*keys_t[i], *sd["av_ni"][i])
+                gh, gl = ds.ds_mul(fh, fl, *_bcast_scalar(sd["dmuref"][i - 1][0], sd["dmuref"][i - 1][1], fh))
+                d1b_h, d1b_l = ds.ds_add(d1b_h, d1b_l, gh, gl)
+            op_t = op[r0:rN]
+            oph, opl = ds.ds_sub(op_t + z, jnp.zeros_like(z), *sd["ntot"])
+            gh, gl = ds.ds_mul(mu1[0] + jnp.zeros_like(oph), mu1[1] + jnp.zeros_like(opl), oph, opl)
+            d1b_h, d1b_l = ds.ds_add(d1b_h, d1b_l, gh, gl)
+            fh, fl = ds.ds_sub(*keys_t[S], *sd["avu"])
+            d1b_h, d1b_l = ds.ds_sub(d1b_h, d1b_l, fh, fl)
+            gh, gl = ds.ds_mul(db_row[0] + jnp.zeros_like(d1b_h), db_row[1] + jnp.zeros_like(d1b_l), d1b_h, d1b_l)
+            xh, xl = ds.ds_add(xh, xl, gh, gl)
+            for q in range(S1):
+                fh, fl = ds.ds_sub(*keys_t[q + 1], *sd["av_ni"][q + 1])
+                fh, fl = ds.ds_mul(fh, fl, *_bcast_scalar(brh, brl, fh))
+                gh, gl = ds.ds_mul(sd["dd"][0] + jnp.zeros_like(fh), sd["dd"][1] + jnp.zeros_like(fl), fh, fl)
+                xh, xl = ds.ds_add(xh, xl, gh, gl)
+            return xh, xl
+
+        def key_chunk(k, r0, rN, z):
+            # keys2[k] = key + dB*dkeydB + sum_q dDmu_q*dkeydMU_q
+            kh, kl = _sel_pair_rows(key_rows[k], idx, r0, rN, z)
+            bh, bl = _sel_pair_rows(dkB_rows[k], idx, r0, rN, z)
+            gh, gl = ds.ds_mul(db_row[0] + z, db_row[1] + z, bh, bl)
+            kh, kl = ds.ds_add(kh, kl, gh, gl)
+            for q in range(S1):
+                qh_, ql_ = _sel_pair_rows(dkM_rows[q][k], idx, r0, rN, z)
+                gh, gl = ds.ds_mul(sd["dd"][0] + z, sd["dd"][1] + z, qh_, ql_)
+                kh, kl = ds.ds_add(kh, kl, gh, gl)
+            return kh, kl
+
+        sd["x_chunk"] = x_chunk
+        sd["key_chunk"] = key_chunk
+
+        # edge guard on the REWEIGHTED surface: (max - cutoff) > x_rw[N-1]
+        ln_l = _sel_pair([(sp["lnpi"][0][last : last + 1], sp["lnpi"][1][last : last + 1]) for sp in cst_list], idx)
+        op_l = op[last : last + 1] + jnp.zeros_like(a[0])
+        tail = ds.ds_add(*ln_l, *ds.ds_mul(*a, op_l, jnp.zeros_like(op_l)))
+        mc = ds.ds_add_f32(mh, ml, F32(-cutoff))
+        sd["edge"] = ds.ds_gt(*mc, *tail)
+        return sd
+
+    sdL = side(idxL)
+    sdR = side(idxR)
+
+    # inverse-distance mix (gc_binary.pyx:457-460), chunk by chunk; only
+    # the mixed surface materializes (segmentation needs it full-length)
+    wsum = ds.ds_add(*w0, *w1)
+
+    def mix(ah, al, bh, bl):
+        t0 = ds.ds_mul(ah, al, *_bcast_scalar2(w0, ah))
+        t1 = ds.ds_mul(bh, bl, *_bcast_scalar2(w1, bh))
+        num = ds.ds_add(*t0, *t1)
+        return ds.ds_div(*num, *_bcast_scalar2(wsum, num[0]))
+
+    mixed = []
+    for t in range(nt):
+        z = jnp.zeros((TN, L), F32)
+        mixed.append(brk(mix(*sdL["x_chunk"](t, z), *sdR["x_chunk"](t, z))))
+    ln_m = (
+        jnp.concatenate([mh_ for mh_, _ in mixed], axis=0),
+        jnp.concatenate([ml_ for _, ml_ in mixed], axis=0),
+    )
+
+    def make_mixed_key(k):
+        def f(r0, rN):
+            z = jnp.zeros((rN - r0, L), F32)
+            return mix(*sdL["key_chunk"](k, r0, rN, z), *sdR["key_chunk"](k, r0, rN, z))
+
+        return f
+
+    keys_m = [make_mixed_key(k) for k in range(S + 1)]
+
+    rows = lax.broadcasted_iota(I32, (NPAD, L), 0)
+    pt = thermo_lanes(ln_m[0], ln_m[1], rows, keys_m, shared["vol"], N, smooth, P, True, barriers, collect, sum_chunk=TN)
+    return _iso_finish(pt, ln_m, sdL["edge"], sdR["edge"], N, P, cutoff)
+
 
 
 # ----------------------------------------------------------------------

@@ -85,7 +85,7 @@ def _bcast_scalar(vh, vl, like_h):
     return row_h + jnp.zeros_like(like_h), row_l + jnp.zeros_like(like_h)
 
 
-def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props):
+def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props, chunk_keys=False):
     """Reweight + joint Taylor extrapolation of ONE source in lanes layout.
 
     Shared between the mu-beta sweep kernel and the isopleth cell kernel
@@ -97,6 +97,14 @@ def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mo
     mu (target mu_1), db (beta distance), dds [S1] (dMu distances).
     Returns (xh, xl, keys2, (mh, ml)) with (mh, ml) the pair max of the
     REWEIGHTED surface (edge-effect checks read it).
+
+    chunk_keys (order-1 + props only): return keys2 as CALLABLES
+    f(r0, rN) -> ([rN-r0, L] pair) instead of materialized [NPAD, L]
+    pairs — the sum-chunked integration (_integrate_chunked) evaluates
+    them per chunk, keeping the extrapolated key rows out of the
+    full-length VMEM working set (the NPAD=2048 lever, VERDICT r4
+    item 5).  The per-chunk math is the identical elementwise ds ops on
+    row slices, so results are bitwise equal to the materialized path.
     """
     S1 = S - 1
     lnpi_h, lnpi_l = src["lnpi"]
@@ -255,7 +263,33 @@ def extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mo
         xh, xl = ds.ds_add(xh, xl, *ds.ds_mul_f32(*acc, F32(0.5)))
 
     # ---- key rows extrapolated with the precomputed semigrand rows ----
-    if props:
+    if props and chunk_keys:
+        if order >= 2 and not first_order_mom:
+            raise NotImplementedError("chunk_keys is an order-1 lever (order-2 key rows add the o2 terms)")
+        L = xh.shape[-1]
+
+        def make_key(k):
+            kh0, kl0 = keys[k]
+            bh0, bl0 = dkeydB[k]
+            qrows = [src["dkeydMU"][q][k] for q in range(S1)]
+
+            def f(r0, rN):
+                z = jnp.zeros((rN - r0, L), xh.dtype)
+                kh = kh0[r0:rN] + z
+                kl = kl0[r0:rN] + z
+                gh, gl = ds.ds_mul(dbh + z, dbl + z, bh0[r0:rN] + z, bl0[r0:rN] + z)
+                kh, kl = ds.ds_add(kh, kl, gh, gl)
+                for q in range(S1):
+                    qh_, ql_ = qrows[q]
+                    ddh_, ddl_ = dds[q]
+                    gh, gl = ds.ds_mul(ddh_ + z, ddl_ + z, qh_[r0:rN] + z, ql_[r0:rN] + z)
+                    kh, kl = ds.ds_add(kh, kl, gh, gl)
+                return kh, kl
+
+            return f
+
+        keys2 = [make_key(k) for k in range(S + 1)]
+    elif props:
         keys2 = []
         for k in range(S + 1):
             kh, kl = keys[k]
@@ -306,7 +340,10 @@ def mb_block_lanes(lane_rows, cst, N, smooth, P, S, props, order=1, first_order_
 
     src = {"lnpi": lnpi, "keys": keys, "dkeydB": dkeydB, "dkeydMU": dkeydMU, "dmuref": dmuref, "o2": o2}
     lanes = {"a": lane(0), "mu": lane(1), "db": lane(2), "dds": [lane(3 + q) for q in range(S1)]}
-    xh, xl, keys2, _ = extrap_source_lanes(op, real, src, lanes, beta_ref, S, order, first_order_mom, props)
+    xh, xl, keys2, _ = extrap_source_lanes(
+        op, real, src, lanes, beta_ref, S, order, first_order_mom, props,
+        chunk_keys=(sum_chunk is not None and props and order == 1),
+    )
     return thermo_lanes(xh, xl, rows, keys2, vol, N, smooth, P, props, barriers, collect, sum_chunk=sum_chunk)
 
 

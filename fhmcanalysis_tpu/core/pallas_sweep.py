@@ -349,6 +349,15 @@ def _integrate_chunked(xh, xl, keys, lefts, rights, mask, N, P, props, TN, brk):
     differ from the unchunked kernel at the ~2^-49 reassociation level;
     segmentation and the per-phase maxima are exact and unchanged.
 
+    keys entries may be ([NPAD,*] , [NPAD,*]) pairs OR callables
+    f(r0, rN) -> ([rN-r0, L], [rN-r0, L]) producing the rows on the fly —
+    the extrapolating kernels use callables so their extrapolated key
+    rows are never materialized full-length (the mb kernel measured
+    20.33 MB scoped VMEM at NPAD=2048 with materialized keys, 4.33 MB
+    over the 16 MB limit; the rows are rank-1 outer products of
+    [NPAD,1] const rows with [1,L] lane scalars, so per-chunk recompute
+    is a handful of elementwise double-single ops).
+
     Returns (m_stk, sums) exactly as the unchunked section builds them.
     """
     NPAD, L = xh.shape
@@ -390,8 +399,13 @@ def _integrate_chunked(xh, xl, keys, lefts, rights, mask, N, P, props, TN, brk):
     lt_l = jnp.where(in_last, t0l, F32(0.0))
     key_last = [(jnp.ones_like(xe_h), jnp.zeros_like(xe_l))]
     if props:
-        for kh, kl in keys:
-            key_last.append((kh[N - 1 : N] + jnp.zeros_like(xe_h), kl[N - 1 : N] + jnp.zeros_like(xe_l)))
+        for key in keys:
+            if callable(key):
+                kh_l, kl_l = key(N - 1, N)  # already [1, L]
+                key_last.append((kh_l + jnp.zeros_like(xe_h), kl_l + jnp.zeros_like(xe_l)))
+            else:
+                kh, kl = key
+                key_last.append((kh[N - 1 : N] + jnp.zeros_like(xe_h), kl[N - 1 : N] + jnp.zeros_like(xe_l)))
 
     # pass B: shifted exp + products + per-phase sums, chunk by chunk
     K1 = 1 + (len(keys) if props else 0)
@@ -414,9 +428,15 @@ def _integrate_chunked(xh, xl, keys, lefts, rights, mask, N, P, props, TN, brk):
         not_last = rws != np.int32(N - 1)
         pks_t = [(eh, el)]
         if props:
-            for kh, kl in keys:
-                kh_t = kh[r0 : r0 + TN] + jnp.zeros_like(eh)
-                kl_t = kl[r0 : r0 + TN] + jnp.zeros_like(el)
+            for key in keys:
+                if callable(key):
+                    kh_t, kl_t = key(r0, r0 + TN)
+                    kh_t = kh_t + jnp.zeros_like(eh)
+                    kl_t = kl_t + jnp.zeros_like(el)
+                else:
+                    kh, kl = key
+                    kh_t = kh[r0 : r0 + TN] + jnp.zeros_like(eh)
+                    kl_t = kl[r0 : r0 + TN] + jnp.zeros_like(el)
                 pks_t.append(ds.ds_mul(eh, el, kh_t, kl_t))
         for q, (qh, ql) in enumerate(pks_t):
             for p in range(P):

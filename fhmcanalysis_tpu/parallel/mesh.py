@@ -93,7 +93,8 @@ def sharded_mu_beta_sweep(
     double-single kernel as ONE shard_map SPMD program (VERDICT r4
     item 2): each device runs the Mosaic kernel on its contiguous mu_1
     block and the global min free energy is reduced ON DEVICE with
-    lax.pmin over both mesh axes — no host loop, no host concatenate,
+    an on-device gather+min over both mesh axes (_global_min — the axon
+    compiler rejects MIN all-reduce) — no host loop, no host concatenate,
     composes across processes under GSPMD semantics.
     """
     if engine == "pallas":
@@ -111,6 +112,20 @@ def sharded_mu_beta_sweep(
         return out, jnp.min(fe_valid)
 
     return step(h, mu_grid, beta_grid, dmu_grid, meta, order, props)
+
+
+def _global_min(x, mesh: Mesh):
+    """Global minimum of a per-shard scalar across every mesh axis.
+
+    all_gather + local min, NOT lax.pmin: the axon v5e AOT compiler
+    rejects MIN all-reduce outright ("Supported lowering only of Sum all
+    reduce", measured 2026-08-19 — even on a 1-device mesh, since
+    shard_map emits the collective unconditionally), while all-gather
+    lowers fine.  Gathering one scalar per device is the same wire cost
+    as the tree min at this size."""
+    for ax in mesh.axis_names:
+        x = jnp.min(jax.lax.all_gather(x, ax))
+    return x
 
 
 def _shard_map_fn(local, mesh, in_specs, out_specs):
@@ -133,7 +148,9 @@ def _mb_spmd_pallas(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu
     sharded over every mesh device (both axes flattened, padded to the
     device count and trimmed on return), each shard runs the fused
     double-single (mu, beta, dMu) kernel on its block, and the global min
-    free energy is lax.pmin-reduced over both mesh axes ON DEVICE.  There
+    free energy is reduced over both mesh axes ON DEVICE (_global_min:
+    all_gather + min — see its docstring for the axon collective
+    limitation).  There
     is no host-side loop or concatenate; outputs come back as one
     mesh-sharded [M, A, ...] pytree, so the program composes beyond a
     single process exactly like the XLA arm.
@@ -175,9 +192,7 @@ def _mb_spmd_pallas(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, beta_grid, dmu
         else:
             flat = MB._mb_ds_xla(hloc, meta, mu_loc, beta_grid, dmu_grid, props, order, False, None)
         out = {k: v.reshape((mu_loc.shape[0], A) + v.shape[1:]) for k, v in flat.items()}
-        gmin = jnp.min(jnp.where(out["mask"], out["fe"], jnp.inf))
-        for ax in mesh.axis_names:
-            gmin = jax.lax.pmin(gmin, ax)
+        gmin = _global_min(jnp.min(jnp.where(out["mask"], out["fe"], jnp.inf)), mesh)
         return out, gmin
 
     spec = Psp(mesh.axis_names)  # mu blocks flattened over both mesh axes
@@ -302,7 +317,8 @@ def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool
     The auto-sharded path (`sharded_mu_beta_sweep`) lets GSPMD place
     collectives; this variant writes the SPMD program explicitly — each
     device sweeps its mu_1 shard, then the global minimum free energy is
-    reduced over the "mu" axis with lax.pmin (rides ICI within a slice).
+    reduced across the mesh with _global_min (all_gather + min; rides
+    ICI within a slice — lax.pmin cannot lower on axon, see _global_min).
     mu_grid length must be divisible by the total device count; both mesh
     axes are consumed (grid flattened over all devices).
     """
@@ -317,8 +333,7 @@ def shard_map_mu_sweep(mesh: Mesh, h: Hist, meta: HistMeta, mu_grid, props: bool
     def local(h, mus):
         out = _pipeline.mu_sweep_body(h, meta, mus, props=props)
         fe_valid = jnp.where(out["mask"], out["fe"], jnp.inf)
-        local_min = jnp.min(fe_valid)
-        global_min = jax.lax.pmin(jax.lax.pmin(local_min, "mu"), "state")
+        global_min = _global_min(jnp.min(fe_valid), mesh)  # axon: no MIN all-reduce
         return out, global_min
 
     fn = _shard_map_fn(local, mesh, in_specs=(Psp(), spec_in), out_specs=(spec_in, Psp()))

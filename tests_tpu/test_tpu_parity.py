@@ -555,7 +555,7 @@ def test_mesh_on_chip(test_nc):
     """A real Mesh on the real chip (VERDICT r4 item 3): every mesh code
     path had only ever executed on the virtual CPU mesh.  A 1-device Mesh
     proves the GSPMD sweep body, the shard_map SPMD pallas arm (Mosaic
-    kernel under shard_map + on-device lax.pmin), the sharded isopleth
+    kernel under shard_map + on-device gather+min), the sharded isopleth
     grid, and the sharded device-watershed joint sweep all lower and
     execute on the axon backend."""
     import jax
